@@ -1,0 +1,170 @@
+"""Fragment I/O: immutable Parquet fragments + per-fragment column stats.
+
+Physical layer the reference never built (its data files are whatever Daft's
+`write_iceberg` produced; scan planning only reads `file_size_in_bytes`,
+`ops/maintenance_system.py:38-49`).  Here every fragment write also computes
+min/max/null_count per non-binary column — the manifest-rewrite payload that
+makes predicate pruning real (SURVEY.md §1.4).
+
+Writes are idempotent: tmp file + atomic rename, and maintenance paths use
+content-addressed names (job_id, partition_id, seq) so a Ray-retried task
+recreates the same file name and skips the write (SURVEY.md §4 stragglers row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.hashing import content_address
+from ..state.manifest import DATA_DIR, FragmentMeta
+
+# Arrow scalar → JSON-serializable python value
+def _to_py(v):
+    v = v.as_py() if isinstance(v, pa.Scalar) else v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def compute_stats(tbl: pa.Table) -> dict:
+    """min/max/null_count for every primitive non-binary column (A3 analog:
+    the reference's grouped min/max `ops/materialized_views.py:310-313` applied
+    to fragment scope)."""
+    stats = {}
+    for name in tbl.column_names:
+        col = tbl[name]
+        t = col.type
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_nested(t):
+            continue
+        nulls = col.null_count
+        if len(col) == nulls or len(col) == 0:
+            stats[name] = {"min": None, "max": None, "null_count": nulls}
+            continue
+        mm = pc.min_max(col)
+        stats[name] = {
+            "min": _to_py(mm["min"]),
+            "max": _to_py(mm["max"]),
+            "null_count": nulls,
+        }
+    return stats
+
+
+def fragment_file_name(*parts: str) -> str:
+    return f"frag-{content_address(*parts)}.parquet"
+
+
+def random_fragment_name() -> str:
+    return f"frag-{uuid.uuid4().hex[:20]}.parquet"
+
+
+def write_fragment(root: str, tbl: pa.Table, name: str | None = None) -> FragmentMeta:
+    """Write one fragment (atomic, idempotent when ``name`` is content-addressed)."""
+    name = name or random_fragment_name()
+    rel = os.path.join(DATA_DIR, name)
+    final = os.path.join(root, rel)
+    if not os.path.exists(final):
+        tmp = final + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+        pq.write_table(tbl, tmp, compression="snappy")
+        os.replace(tmp, final)
+    return FragmentMeta(
+        fragment_id=name.rsplit(".", 1)[0],
+        path=rel,
+        rows=tbl.num_rows,
+        bytes=os.path.getsize(final),
+        stats=compute_stats(tbl),
+    )
+
+
+def write_table_as_fragments(
+    root: str,
+    tbl: pa.Table,
+    *,
+    target_bytes: int,
+    name_parts: tuple | None = None,
+) -> list[FragmentMeta]:
+    """Write a (possibly oversized) Arrow table as >=1 fragments of ~target size.
+
+    ``name_parts`` (job_id, partition_id) makes names content-addressed; the
+    per-slice seq is appended.  Without it, names are random (plain appends)."""
+    if tbl.num_rows == 0:
+        return []
+    nbytes = max(tbl.nbytes, 1)
+    n_frags = max(1, round(nbytes / target_bytes))
+    rows_per = -(-tbl.num_rows // n_frags)  # ceil
+    out = []
+    seq = 0
+    for start in range(0, tbl.num_rows, rows_per):
+        piece = tbl.slice(start, rows_per).combine_chunks()
+        if name_parts is not None:
+            name = fragment_file_name(*[str(p) for p in name_parts], str(seq))
+        else:
+            name = random_fragment_name()
+        out.append(write_fragment(root, piece, name))
+        seq += 1
+    return out
+
+
+META_SCHEMA = pa.schema(
+    [
+        ("fragment_id", pa.string()),
+        ("path", pa.string()),
+        ("rows", pa.int64()),
+        ("bytes", pa.int64()),
+        ("stats_json", pa.string()),
+    ]
+)
+
+
+def metas_to_batch(metas: list[FragmentMeta]) -> pa.Table:
+    return pa.table(
+        {
+            "fragment_id": [m.fragment_id for m in metas],
+            "path": [m.path for m in metas],
+            "rows": [m.rows for m in metas],
+            "bytes": [m.bytes for m in metas],
+            "stats_json": [json.dumps(m.stats) for m in metas],
+        },
+        schema=META_SCHEMA,
+    )
+
+
+def batch_to_metas(tbl: pa.Table) -> list[FragmentMeta]:
+    d = tbl.to_pydict()
+    return [
+        FragmentMeta(
+            fragment_id=d["fragment_id"][i],
+            path=d["path"][i],
+            rows=d["rows"][i],
+            bytes=d["bytes"][i],
+            stats=json.loads(d["stats_json"][i]),
+        )
+        for i in range(tbl.num_rows)
+    ]
+
+
+class FragmentWriteFn:
+    """``map_batches`` stage: each incoming Arrow batch becomes >=1 fragments;
+    emits fragment-metadata rows (tiny) instead of data — the dataset the driver
+    collects to build the commit.  This is the Ray-native version of the
+    reference's staged write (`ingest/daft_batch_ocel_loader.py:151-165`):
+    fragments land in data/ but are invisible until the manifest commit.
+
+    Run as an actor pool (``concurrency=N``) so filesystem handles / settings
+    are set up once per worker; the per-call work is pure vectorized I/O.
+    """
+
+    def __init__(self, root: str, target_bytes: int):
+        self.root = root
+        self.target_bytes = target_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = write_table_as_fragments(self.root, batch, target_bytes=self.target_bytes)
+        return metas_to_batch(metas)

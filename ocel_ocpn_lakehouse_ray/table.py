@@ -1,0 +1,208 @@
+"""LakeTable: the engine's table handle — create / load(pin) / scan / append /
+commit, over the manifest chain in state/manifest.py.
+
+Replaces the reference's PyIceberg ``catalog.load_table`` + Daft
+``read_iceberg`` pair (`ops/maintenance_system.py:16-27`,
+`agent/process_mining_queries.py:79`): `LakeTable.load` pins one manifest
+version (snapshot isolation), `to_dataset` turns its live fragment list into a
+`ray.data.Dataset` with column pruning at the read and fragment-level min/max
+predicate pruning (the point of manifest column stats, SURVEY.md §1.4/M6).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from .config import TableConfig
+from .sources.fragments import write_table_as_fragments
+from .state import manifest as mf
+
+_TYPE_PARSERS = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "binary": pa.binary(),
+    "large_binary": pa.large_binary(),
+    "bool": pa.bool_(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "timestamp[us]": pa.timestamp("us"),
+    "date32[day]": pa.date32(),
+    "list<item: float>": pa.list_(pa.float32()),
+    "list<element: float>": pa.list_(pa.float32()),
+}
+
+
+def schema_to_meta(schema: pa.Schema) -> list:
+    return [[f.name, str(f.type)] for f in schema]
+
+
+def meta_to_schema(meta: list) -> pa.Schema:
+    fields = []
+    for name, tstr in meta:
+        if tstr not in _TYPE_PARSERS:
+            raise ValueError(f"unsupported type string {tstr!r} for column {name!r}")
+        fields.append(pa.field(name, _TYPE_PARSERS[tstr]))
+    return pa.schema(fields)
+
+
+# The input_hint table shape (BASELINE.json): image + caption pairs.
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+class LakeTable:
+    def __init__(self, root: str, manifest: mf.Manifest):
+        self.root = root
+        self.manifest = manifest
+
+    # ------------------------------------------------------------ lifecycle
+    @classmethod
+    def create(cls, root: str, schema: pa.Schema, config: TableConfig | None = None) -> "LakeTable":
+        """Bootstrap (reference S10, `ingest/production_bootstrap.py:570-595`):
+        manifest v0 with an empty fragment list."""
+        config = config or TableConfig()
+        mf.init_table_dirs(root)
+        m = mf.Manifest(
+            version=0,
+            parent=None,
+            created_at=__import__("time").time(),
+            operation="create",
+            schema=schema_to_meta(schema),
+            config=config.to_dict(),
+            fragments=[],
+        )
+        mf.publish_manifest(root, m)
+        return cls(root, m)
+
+    @classmethod
+    def load(cls, root: str, version: int | None = None) -> "LakeTable":
+        """Pin one manifest version; None = current latest."""
+        return cls(root, mf.load_manifest(root, version))
+
+    def refresh(self) -> "LakeTable":
+        self.manifest = mf.load_manifest(self.root, None)
+        return self
+
+    # ------------------------------------------------------------ properties
+    @property
+    def version(self) -> int:
+        return self.manifest.version
+
+    @property
+    def schema(self) -> pa.Schema:
+        return meta_to_schema(self.manifest.schema)
+
+    @property
+    def config(self) -> TableConfig:
+        return TableConfig.from_dict(self.manifest.config)
+
+    @property
+    def fragments(self) -> list:
+        return self.manifest.fragments
+
+    def fragment_paths(self, fragments=None) -> list[str]:
+        return [os.path.join(self.root, f.path) for f in (fragments or self.fragments)]
+
+    # ------------------------------------------------------------ scan
+    def live_fragments(self, predicates: list[tuple] | None = None) -> list:
+        """Fragments surviving min/max pruning for [(col, lo, hi), ...]."""
+        frags = self.fragments
+        for col, lo, hi in predicates or []:
+            frags = [f for f in frags if not f.prune(col, lo, hi)]
+        return frags
+
+    def to_dataset(
+        self,
+        columns: list[str] | None = None,
+        predicates: list[tuple] | None = None,
+        **read_kwargs,
+    ):
+        """Live fragment list → ray.data.Dataset (reference S2).  Columns are
+        pruned at the read; predicates prune whole fragments via manifest stats
+        (row-level filtering stays the caller's map_batches job)."""
+        import ray.data
+
+        frags = self.live_fragments(predicates)
+        if not frags:
+            return ray.data.from_arrow(self.schema.empty_table())
+        return ray.data.read_parquet(
+            self.fragment_paths(frags), columns=columns, **read_kwargs
+        )
+
+    def to_arrow(self, columns: list[str] | None = None) -> pa.Table:
+        """Driver-side full read — ONLY for tests/small tables."""
+        import pyarrow.parquet as pq
+
+        if not self.fragments:
+            tbl = self.schema.empty_table()
+            return tbl.select(columns) if columns else tbl
+        parts = [pq.read_table(p, columns=columns) for p in self.fragment_paths()]
+        return pa.concat_tables(parts).combine_chunks()
+
+    # ------------------------------------------------------------ write paths
+    def commit(self, *, operation: str, add: list, remove_ids: set, summary: dict | None = None) -> "LakeTable":
+        new = mf.commit_version(
+            self.root,
+            base_version=self.version,
+            operation=operation,
+            add=add,
+            remove_ids=remove_ids,
+            schema=self.manifest.schema,
+            config=self.manifest.config,
+            summary=summary,
+        )
+        return LakeTable(self.root, new)
+
+    def append_arrow(self, tbl: pa.Table, *, name_parts: tuple | None = None) -> "LakeTable":
+        """Small/driver-side append (reference S4 `write_iceberg(mode=append)`)."""
+        metas = write_table_as_fragments(
+            self.root, tbl, target_bytes=self.config.target_fragment_bytes,
+            name_parts=name_parts,
+        )
+        return self.commit(operation="append", add=metas, remove_ids=set(),
+                           summary={"added_fragments": len(metas), "added_rows": tbl.num_rows})
+
+    def append_dataset(self, ds, *, concurrency: int | None = None) -> "LakeTable":
+        """Distributed append: FragmentWriteFn actor pool writes fragments,
+        driver collects the (tiny) metadata dataset and commits once — the real
+        two-phase staged-write→commit (reference S6)."""
+        from .sources.fragments import FragmentWriteFn, batch_to_metas
+
+        if concurrency is None:
+            import ray
+
+            concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        meta_ds = ds.map_batches(
+            FragmentWriteFn,
+            fn_constructor_args=(self.root, self.config.target_fragment_bytes),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
+        )
+        metas = []
+        for b in meta_ds.iter_batches(batch_format="pyarrow"):
+            metas.extend(batch_to_metas(b))
+        return self.commit(operation="append", add=metas, remove_ids=set(),
+                           summary={"added_fragments": len(metas),
+                                    "added_rows": sum(m.rows for m in metas)})
+
+    # ------------------------------------------------------------ history
+    def history(self) -> list[mf.Manifest]:
+        return [mf.load_manifest(self.root, v) for v in mf.list_manifest_versions(self.root)]
