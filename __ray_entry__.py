@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) may call ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``       — flagship pipeline: full maintenance lifecycle
+                      (compact → Z-order cluster → MERGE → verify) on the
+                      deterministic synthetic image table at sf0.001 scale.
+- ``queries()``     — one entry per implemented operator/pipeline from
+                      SURVEY.md §2 (+ the training-data ops); each callable
+                      takes an sf_dir and returns Dataset / DataFrame / Table.
+- ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
+                      (same column names as the Ray results).  Entries absent
+                      here (maintenance jobs, LSH/minhash/simhash, lang-id,
+                      multimodal decode) are non-SQL-expressible → the driver
+                      records the weaker rows-only check; their exact oracles
+                      live in tests/.
 """
 
 from __future__ import annotations
@@ -20,25 +24,76 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build toy image table → compaction → Z-order clustering →
+    MERGE INTO → scan-equivalence gate → return the maintained table scan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ocel_ocpn_lakehouse_ray.pipelines.maintenance_queries import (
+        _scale_n,
+        _working_copy,
+    )
+    from ocel_ocpn_lakehouse_ray.sources.generator import (
+        _update_mask,
+        gen_batch,
+        gen_update_batch,
+        merge_source_dataset,
+    )
+    from ocel_ocpn_lakehouse_ray.stages.clustering import run_clustering
+    from ocel_ocpn_lakehouse_ray.stages.compaction import run_compaction
+    from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
+    from ocel_ocpn_lakehouse_ray.stages.verify import scan_equivalence
+    from ocel_ocpn_lakehouse_ray.table import LakeTable
+
+    n = _scale_n("sf0.001")
+    root = _working_copy(n, "entry")
+    t = LakeTable.load(root)
+    t, _ = run_compaction(t, job_id="entry-compact")
+    t, _ = run_clustering(t, order="zorder", job_id="entry-cluster")
+    t, _ = run_merge(t, merge_source_dataset(n, num_blocks=4), job_id="entry-merge")
+
+    ids = np.arange(n)
+    upd = _update_mask(ids, 42)
+    expected = pa.concat_tables([
+        gen_batch(ids[~upd], 42),
+        gen_update_batch(ids[upd], 42),
+        gen_batch(np.arange(max(1, n // 20)) + 9 * 10**11, 49),
+    ])
+    rep = scan_equivalence(t.to_dataset(), ray.data.from_arrow(expected), num_parts=4)
+    if not rep["passed"]:
+        raise RuntimeError(f"post-maintenance scan-equivalence FAILED: {rep}")
+    return t.to_dataset(columns=["image_id", "caption", "w", "h", "fmt", "phash"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocel_ocpn_lakehouse_ray.pipelines import dedup, maintenance_queries, similarity
+    from ocel_ocpn_lakehouse_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out.update({
+        "knn_bruteforce": similarity.q_knn_bruteforce,
+        "embedding_dedup": similarity.q_embedding_dedup,
+        "ann_lsh": similarity.q_ann_lsh,
+        "simhash": dedup.q_simhash,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "ngram_jaccard": dedup.q_ngram_jaccard,
+        "maint_compaction": maintenance_queries.maint_compaction,
+        "maint_cluster_zorder": maintenance_queries.maint_cluster_zorder,
+        "maint_cluster_hilbert": maintenance_queries.maint_cluster_hilbert,
+        "maint_merge": maintenance_queries.maint_merge,
+        "maint_expire_gc": maintenance_queries.maint_expire_gc,
+    })
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocel_ocpn_lakehouse_ray.pipelines import similarity
+    from ocel_ocpn_lakehouse_ray.pipelines.queries import ORACLE_SQL
+
+    out = dict(ORACLE_SQL)
+    out.update({
+        "knn_bruteforce": similarity.SQL_KNN_BRUTEFORCE,
+        "embedding_dedup": similarity.SQL_EMBEDDING_DEDUP,
+    })
+    return out

@@ -1,0 +1,140 @@
+"""Text-analysis kernels for the training-data pipeline operators:
+tokenization, document fingerprinting, quality metrics, language-ID heuristic,
+MinHash / SimHash signatures and shingling for near-dedup.
+
+All kernels are batch functions (vectorized where the op allows; per-doc
+Python where inherently so, e.g. shingling) intended to run inside
+``map_batches`` — never on the driver.  The reference's scalar-function layer
+(SURVEY.md §2.8: slicing, joins of tokens, hash() % 1e6 ids,
+`ops/materialized_views.py:396-400`) is the analog surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_WS_RE = re.compile(r"\s+")
+
+from .hashing import splitmix64
+
+TOKEN_SEED = 0x7E57
+
+
+def md5_fingerprint(texts: list[str]) -> list[str]:
+    """Exact-dedup / fingerprint key — hex md5, matching DuckDB's md5()."""
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """64-bit hashes of tokens (stable across processes)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        d = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(d, "little")
+    return out
+
+
+def simhash64(texts: list[str]) -> np.ndarray:
+    """Charikar SimHash over whitespace tokens: per-bit votes weighted by
+    token frequency; near-dup docs land within small hamming distance."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = token_hashes(toks)
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        out[i] = np.packbits((votes > 0)[::-1]).view(">u8")[0]
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a, np.uint64) ^ np.asarray(b, np.uint64)).view(np.uint8)
+    return np.unpackbits(x.reshape(len(np.atleast_1d(a)), 8), axis=1).sum(axis=1)
+
+
+def word_shingles(text: str, k: int = 3) -> np.ndarray:
+    """k-word shingle hash set (sorted unique uint64)."""
+    toks = text.split()
+    if len(toks) < k:
+        return token_hashes([" ".join(toks)]) if toks else np.array([], np.uint64)
+    sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(token_hashes(sh))
+
+
+# MinHash: h_i(x) = splitmix64(x ^ seed_i); signature = min over shingles.
+def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    if len(shingle_hashes) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, np.uint64)
+    seeds = splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(TOKEN_SEED))
+    # (perm, shingle) mix then min — vectorized
+    mixed = splitmix64(shingle_hashes[None, :] ^ seeds[:, None])
+    return mixed.min(axis=1)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[str]:
+    """Band the signature: docs sharing ANY band key are near-dup candidates."""
+    rows = len(sig) // bands
+    keys = []
+    for b in range(bands):
+        chunk = sig[b * rows : (b + 1) * rows]
+        d = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+        keys.append(f"{b}:{d}")
+    return keys
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique hash sets."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+# Language-ID: tiny marker-stopword heuristic (n-gram-free, deterministic).
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "las", "por"},
+    "de": {"der", "die", "und", "das", "nicht", "von", "ist", "mit", "den", "ein"},
+    "fr": {"le", "la", "les", "de", "et", "des", "est", "dans", "que", "pour"},
+}
+
+
+def guess_lang(texts: list[str]) -> list[str]:
+    """Marker-word language heuristic; 'und' (undetermined) when no markers."""
+    out = []
+    for t in texts:
+        toks = t.lower().split()
+        if not toks:
+            out.append("und")
+            continue
+        scores = {lang: sum(1 for w in toks if w in mk) for lang, mk in _LANG_MARKERS.items()}
+        best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        out.append(best[0] if best[1] > 0 else "und")
+    return out
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def quality_metrics(texts: list[str]) -> dict[str, np.ndarray]:
+    """Quality-scoring features; formulas mirror the SQL oracle exactly:
+    n_chars = length(text); n_tokens = len(string_split_regex(text,'\\s+'));
+    stop_tokens = count of tokens in a fixed 5-word stoplist."""
+    n = len(texts)
+    n_chars = np.empty(n, np.int64)
+    n_tokens = np.empty(n, np.int64)
+    stop_tokens = np.empty(n, np.int64)
+    for i, t in enumerate(texts):
+        n_chars[i] = len(t)
+        # duckdb string_split_regex('', '\s+') -> [''] i.e. length 1
+        parts = _WS_RE.split(t) if t else [""]
+        n_tokens[i] = len(parts)
+        stop_tokens[i] = sum(1 for w in parts if w in _STOPWORDS)
+    return {"n_chars": n_chars, "n_tokens": n_tokens, "stop_tokens": stop_tokens}

@@ -1,0 +1,110 @@
+"""Driver-facing wrappers that exercise the full maintenance engine on the
+deterministic synthetic image table (FIXTURES.md F1/F2) — one `queries()`
+entry per maintenance job.  These are not SQL-expressible (stateful,
+multi-commit, binary payloads) → the driver records rows-only checks; the
+exact oracles live in tests/test_maintenance.py.
+
+Each call: (a) lazily builds a seed table sized by the sf tier into a shared
+cache, (b) copies it to a fresh working root, (c) runs the job, (d) returns a
+deterministic scan of the result (no file names / timestamps — identical
+across runs)."""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.generator import create_image_table, merge_source_dataset
+from ..stages.clustering import cluster_key_batch, run_clustering
+from ..stages.compaction import run_compaction
+from ..stages.gc import expire_and_gc, fsck
+from ..stages.merge import run_merge
+from ..table import LakeTable
+
+CACHE_ROOT = "/tmp/graft_cache"
+WORK_ROOT = "/tmp/graft_work"
+_SCALE_N = {"0.001": 400, "0.01": 2000, "0.1": 20000}
+
+
+def _scale_n(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    return _SCALE_N.get(m.group(1) if m else "", 2000)
+
+
+def _seed_table_root(n: int) -> str:
+    """Build-once shared seed table (atomic: build under tmp name, rename)."""
+    root = os.path.join(CACHE_ROOT, f"images_{n}")
+    if os.path.exists(os.path.join(root, "_latest")):
+        return root
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = root + f".build.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+    create_image_table(tmp, n, num_fragments=max(8, n // 50))
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent build race
+    return root
+
+
+def _working_copy(n: int, tag: str) -> str:
+    src = _seed_table_root(n)
+    dst = os.path.join(WORK_ROOT, f"{tag}_{n}_{uuid.uuid4().hex[:8]}")
+    shutil.copytree(src, dst)
+    return dst
+
+
+def _scan(table: LakeTable, with_cluster_key: str | None = None) -> pd.DataFrame:
+    cols = ["image_id", "caption", "w", "h", "fmt", "phash"]
+    df = table.to_dataset(columns=cols).to_pandas()
+    if with_cluster_key:
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        df["cluster_key"] = cluster_key_batch(tbl, with_cluster_key).view(np.int64)
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+def maint_compaction(sf_dir: str) -> pd.DataFrame:
+    root = _working_copy(_scale_n(sf_dir), "compact")
+    t = LakeTable.load(root)
+    t2, _ = run_compaction(t, job_id="q-compact")
+    return _scan(t2)
+
+
+def maint_cluster_zorder(sf_dir: str) -> pd.DataFrame:
+    root = _working_copy(_scale_n(sf_dir), "zorder")
+    t = LakeTable.load(root)
+    t2, _ = run_clustering(t, order="zorder", job_id="q-zorder")
+    return _scan(t2, with_cluster_key="zorder")
+
+
+def maint_cluster_hilbert(sf_dir: str) -> pd.DataFrame:
+    root = _working_copy(_scale_n(sf_dir), "hilbert")
+    t = LakeTable.load(root)
+    t2, _ = run_clustering(t, order="hilbert", job_id="q-hilbert")
+    return _scan(t2, with_cluster_key="hilbert")
+
+
+def maint_merge(sf_dir: str) -> pd.DataFrame:
+    n = _scale_n(sf_dir)
+    root = _working_copy(n, "merge")
+    t = LakeTable.load(root)
+    src = merge_source_dataset(n, num_blocks=max(2, n // 200))
+    t2, _ = run_merge(t, src, job_id="q-merge")
+    return _scan(t2)
+
+
+def maint_expire_gc(sf_dir: str) -> pd.DataFrame:
+    root = _working_copy(_scale_n(sf_dir), "gc")
+    t = LakeTable.load(root)
+    t2, _ = run_compaction(t, job_id="q-gc-compact")
+    expire_and_gc(root, keep_last=1, orphan_grace_seconds=0)
+    rep = fsck(root)
+    df = _scan(LakeTable.load(root))
+    # fsck must be clean post-GC; surface it in the result for the rows check
+    df["gc_clean"] = bool(not rep["orphans"] and not rep["missing"])
+    return df

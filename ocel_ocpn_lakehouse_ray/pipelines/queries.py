@@ -1,0 +1,684 @@
+"""Operator-coverage query registry over the driver's parquet test tables
+(`/root/testdata/sf*/`): every SURVEY.md §2 operator family gets at least one
+Ray-Data pipeline here, each paired with the ANSI-SQL oracle the driver runs
+through DuckDB (CORRECTNESS gate).  Column names match the SQL aliases
+exactly (driver hashes values after sorting columns by name).
+
+Reference citations are per-query in the docstrings; the Ray shapes follow
+the idioms in SURVEY.md §2's "RD mapping" column:
+- prune columns at the read (`read_parquet(columns=...)`),
+- vectorized pyarrow.compute inside map_batches,
+- broadcast joins for dimension tables (ray.put + in-batch pa join),
+- Dataset.join for the large⋈large case,
+- groupby().aggregate / map_groups for grouped and windowed semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import guess_lang, md5_fingerprint, quality_metrics
+
+# ------------------------------------------------------------------ helpers
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None, **kw):
+    import ray.data
+
+    return ray.data.read_parquet(_pq(sf_dir, name), columns=columns, **kw)
+
+
+def _small_arrow(sf_dir: str, name: str, columns=None) -> pa.Table:
+    """Driver-side read of a SMALL dimension table (broadcast side)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(_pq(sf_dir, name), columns=columns)
+
+
+class _BroadcastJoiner:
+    """Actor-pool batch joiner: the broadcast side is fetched from the object
+    store ONCE per actor in the constructor (zero-copy local read), then every
+    batch is joined with pyarrow's hash join — no re-shipping per batch."""
+
+    def __init__(self, small_ref, keys, right_keys):
+        import ray
+
+        self.small = ray.get(small_ref)
+        self.keys = keys
+        self.right_keys = right_keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(self.small, keys=self.keys, right_keys=self.right_keys,
+                          join_type="inner")
+
+
+def broadcast_join(ds, small: pa.Table, keys, right_keys=None, concurrency=(1, 4)):
+    """J3/J4 broadcast join: the small side is put in the object store once
+    (ray.put) and joined inside every batch — no shuffle of the big side
+    (SURVEY.md §2.4)."""
+    import ray
+
+    ref = ray.put(small)
+    return ds.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_args=(ref, keys, right_keys or keys),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+
+def _rename(ds, mapping: dict):
+    """Column rename as a zero-copy Arrow batch op (Dataset.rename_columns is
+    unreliable across block formats in Ray 2.49)."""
+    def fn(b: pa.Table) -> pa.Table:
+        return b.rename_columns([mapping.get(c, c) for c in b.column_names])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_pricing_summary(sf_dir: str):
+    """A2/A4/M6: grouped sum/avg/count with a derived column and a filter —
+    the reference's grouped aggregations (`ops/materialized_views.py:277-281`,
+    `ops/maintenance_system.py:346`) over lineitem."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("disc_price", disc)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       avg(l_quantity) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(sf_dir: str):
+    """M4/M6/M8: predicate filter + derived projection (the reference's
+    event_date/event_month derivation, `ingest/complete_ocel_loader.py:153-155`)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["l_shipdate"], pa.scalar(pd.Timestamp("1995-01-01"))))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        month = pc.strftime(b["l_shipdate"], format="%Y-%m")
+        return pa.table({
+            "l_orderkey": b["l_orderkey"], "revenue": rev, "ship_month": month,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_FILTER_PROJECT = """
+SELECT l_orderkey,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       strftime(l_shipdate, '%Y-%m') AS ship_month
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """O1: sort desc + limit (top-k), tie-broken for determinism
+    (`agent/process_mining_queries.py:82-86`)."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10)
+
+
+_SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+"""
+
+
+def q_orders_by_segment(sf_dir: str):
+    """J1→A2: fact ⋈ dimension with a broadcast join then grouped agg
+    (`ops/performance_optimization.py:103-117`)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _small_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(ds, cust, keys=["o_custkey"], right_keys=["c_custkey"])
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="order_count"), Sum("o_totalprice", alias_name="total_price")
+    )
+
+
+_SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, count(*) AS order_count, sum(o_totalprice) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """J5: 3-way join — lineitem ⋈ orders via Dataset.join (the large⋈large
+    hash-shuffle join), dimensions broadcast (`analytics/process_discovery.py:229-230`)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _small_arrow(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _small_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"])
+
+    # join partition count must stay below available CPUs: each hash-shuffle
+    # aggregator is an actor holding a CPU, and map tasks still need slots
+    import ray
+
+    nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = li.join(orders, join_type="inner", num_partitions=nparts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = broadcast_join(joined, dim, keys=["o_custkey"], right_keys=["c_custkey"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"n_name": b["n_name"], "revenue_part": r})
+
+    return (joined.map_batches(rev, batch_format="pyarrow")
+            .groupby("n_name").aggregate(Sum("revenue_part", alias_name="revenue")))
+
+
+_SQL_REVENUE_BY_NATION = """
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_event_type_stats(sf_dir: str):
+    """A3/A4: grouped min/max/mean over the event stream
+    (`ops/materialized_views.py:310-313`)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return ds.groupby("event_type").aggregate(
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+        Sum("value", alias_name="total_value"),
+        Mean("value", alias_name="avg_value"),
+        Count(alias_name="n"),
+    )
+
+
+_SQL_EVENT_TYPE_STATS = """
+SELECT event_type, min(ts) AS first_ts, max(ts) AS last_ts,
+       sum(value) AS total_value, avg(value) AS avg_value, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_value_counts(sf_dir: str):
+    """A8: frequency table sorted desc (`analytics/cost_analysis.py:52-56`)."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return _rename(ds.groupby("event_type").count().sort("count()", descending=True), {"count()": "n"})
+
+
+_SQL_VALUE_COUNTS = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY n DESC
+"""
+
+
+def q_daily_counts(sf_dir: str):
+    """A10: temporal bucketing (`analytics/process_discovery.py:149-165`)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_date": pc.strftime(b["ts"], format="%Y-%m-%d"),
+            "value": b["value"],
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("event_date")
+            .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value")))
+
+
+_SQL_DAILY_COUNTS = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n, sum(value) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_direct_follows(sf_dir: str):
+    """W1: the reference's direct-follows (DFG) pairing — consecutive event
+    pairs within a time-sorted per-user group, then re-aggregated
+    (`ops/materialized_views.py:243-267`)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        src = g["event_type"].iloc[:-1].to_numpy()
+        dst = g["event_type"].iloc[1:].to_numpy()
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    pair_ds = ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    return _rename(pair_ds.groupby(["src", "dst"]).count(), {"count()": "n"})
+
+
+_SQL_DIRECT_FOLLOWS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS src, event_type AS dst, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """W3: per-user session assembly — start/end/duration/count/total
+    (`ingest/complete_ocel_loader.py:281-351`)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    agg = ds.groupby("user_id").aggregate(
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="total_value"),
+    )
+
+    def dur(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(pc.subtract(b["last_ts"], b["first_ts"]), pa.int64()), pa.float64())
+        return b.append_column("duration_sec", pc.divide(us, pa.scalar(1_000_000.0)))
+
+    return agg.map_batches(dur, batch_format="pyarrow")
+
+
+_SQL_SESSIONIZE = """
+SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+       count(*) AS n_events, sum(value) AS total_value,
+       CAST(date_diff('microsecond', min(ts), max(ts)) / 1000000 AS DOUBLE) AS duration_sec
+FROM events GROUP BY user_id
+"""
+
+
+def q_sequence_numbers(sf_dir: str):
+    """W2: per-group row_number (`ingest/complete_ocel_loader.py:353-360`)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["seq"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["event_id", "user_id", "seq"]]
+
+    return ds.groupby("user_id").map_groups(number, batch_format="pandas")
+
+
+_SQL_SEQUENCE_NUMBERS = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+"""
+
+
+def q_price_percentiles(sf_dir: str):
+    """A7: exact percentiles of o_totalprice.  The single numeric column is
+    streamed to the driver (8 bytes/row — at 10^12 rows swap for a per-block
+    t-digest sketch merge, SURVEY.md §2.5 A7); interpolation matches
+    percentile_cont (`agent/process_mining_queries.py:146-166`)."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    parts = [b["o_totalprice"].to_numpy() for b in ds.iter_batches(batch_format="pyarrow")]
+    v = np.concatenate(parts)
+    p50, p90, p99 = (float(np.quantile(v, q, method="linear")) for q in (0.5, 0.9, 0.99))
+    return pd.DataFrame({"p50": [p50], "p90": [p90], "p99": [p99]})
+
+
+_SQL_PRICE_PERCENTILES = """
+SELECT percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+       percentile_cont(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+       percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+FROM orders
+"""
+
+
+def q_distinct_types(sf_dir: str):
+    """A6/D1: distinct values (`analytics/process_discovery.py:169,240`)."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": vals})
+
+
+_SQL_DISTINCT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+def q_isin_filter(sf_dir: str):
+    """M7: membership filter (`analytics/conformance_checking.py:186-190`)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    wanted = pa.array(["click", "purchase"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["event_type"], value_set=wanted))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_ISIN_FILTER = """
+SELECT event_id, event_type, value FROM events
+WHERE event_type IN ('click', 'purchase')
+"""
+
+
+def q_null_quality(sf_dir: str):
+    """M9: null-quality audit as partial counts + combine
+    (`ops/schema_evolution.py:169-244`)."""
+    ds = _read(sf_dir, "orders")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "total": [b.num_rows],
+            **{f"null_{c}": [b[c].null_count] for c in
+               ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")},
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("total", alias_name="total"),
+        *[Sum(f"null_{c}", alias_name=f"null_{c}")
+          for c in ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")],
+    )
+    return pd.DataFrame({k: [v] for k, v in agg.items()})
+
+
+_SQL_NULL_QUALITY = """
+SELECT count(*) AS total,
+       sum(CASE WHEN o_orderkey  IS NULL THEN 1 ELSE 0 END) AS null_o_orderkey,
+       sum(CASE WHEN o_custkey   IS NULL THEN 1 ELSE 0 END) AS null_o_custkey,
+       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_o_totalprice,
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_o_orderdate
+FROM orders
+"""
+
+
+def q_cooccurrence(sf_dir: str):
+    """A9: pairwise co-occurrence within a group — canonical-ordered pairs of
+    event types seen for the same user (`agent/process_mining_queries.py:981-1004`)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        types = sorted(set(g["event_type"]))
+        rows = [(a, b) for i, a in enumerate(types) for b in types[i + 1:]]
+        if not rows:
+            return pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+        return pd.DataFrame(rows, columns=["a", "b"])
+
+    pair_ds = ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    return _rename(pair_ds.groupby(["a", "b"]).count(), {"count()": "n"})
+
+
+_SQL_COOCCURRENCE = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT x.event_type AS a, y.event_type AS b, count(*) AS n
+FROM d x JOIN d y ON x.user_id = y.user_id AND x.event_type < y.event_type
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------- text / documents family
+
+
+def q_token_counts(sf_dir: str):
+    """Token counting over documents (training-data op; formula mirrors the
+    SQL oracle exactly)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = quality_metrics(b["text"].to_pylist())
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": m["n_tokens"]})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_TOKEN_COUNTS = """
+SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality scoring: length/token/stopword features per document."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = quality_metrics(b["text"].to_pylist())
+        stop_ratio = m["stop_tokens"] / np.maximum(m["n_tokens"], 1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars": m["n_chars"],
+            "n_tokens": m["n_tokens"],
+            "stop_ratio": stop_ratio.astype(np.float64),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_QUALITY_SCORES = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+         / greatest(len(string_split_regex(text, '\\s+')), 1) AS stop_ratio
+FROM documents
+"""
+
+
+def q_fingerprints(sf_dir: str):
+    """Document fingerprinting (md5, matches DuckDB's md5())."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "fp": md5_fingerprint(b["text"].to_pylist()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_FINGERPRINTS = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_dedup_exact(sf_dir: str):
+    """D1 exact dedup: hash-partition by content fingerprint, keep the lowest
+    doc_id per distinct text (`ingest/complete_ocel_loader.py:122-127`)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = q_fingerprints(sf_dir)
+    return ds.groupby("fp").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_lang_distribution(sf_dir: str):
+    """A2 over documents metadata: rows per language."""
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    return _rename(ds.groupby("lang").count(), {"count()": "n"})
+
+
+_SQL_LANG_DISTRIBUTION = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic (marker stopwords) — non-SQL-expressible;
+    driver records the weaker rows-only check."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang_guess": guess_lang(b["text"].to_pylist()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_merge_documents(sf_dir: str):
+    """MERGE INTO expressed over the documents table: a derived source of
+    updates (doc_id % 7 == 0 → text uppercased) and inserts (doc_id + 1000000)
+    upserted with the engine's hash-partitioned co-group (same machinery as
+    stages/merge.py, keyed on doc_id)."""
+    ds = _read(sf_dir, "documents")
+
+    # source: updates + inserts, derived deterministically
+    def source_batch(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        upd = b.filter(pa.array(ids % 7 == 0))
+        upd = pa.table({
+            "doc_id": upd["doc_id"],
+            "text": pc.utf8_upper(upd["text"]),
+            "lang": upd["lang"],
+            "source": upd["source"],
+            "n_chars": upd["n_chars"],
+        })
+        ins = b.filter(pa.array(ids % 11 == 3))
+        ins = pa.table({
+            "doc_id": pc.add(ins["doc_id"], pa.scalar(1_000_000)),
+            "text": ins["text"],
+            "lang": ins["lang"],
+            "source": pa.array(["merged"] * ins.num_rows),
+            "n_chars": ins["n_chars"],
+        })
+        return pa.concat_tables([upd, ins])
+
+    src = _read(sf_dir, "documents").map_batches(source_batch, batch_format="pyarrow")
+    from ..stages.shuffle import PART_COL, assign_hash_part
+
+    P = 4
+
+    def tag(side):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.append_column("__side", pa.array(np.full(b.num_rows, side, np.int8)))
+            return assign_hash_part(b, "doc_id", P)
+        return fn
+
+    both = ds.map_batches(tag(0), batch_format="pyarrow").union(
+        src.map_batches(tag(1), batch_format="pyarrow"))
+
+    def upsert(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy()
+        tgt, s = g.filter(pa.array(side == 0)), g.filter(pa.array(side == 1))
+        keep = pc.invert(pc.is_in(tgt["doc_id"], value_set=s["doc_id"]))
+        return pa.concat_tables([tgt.filter(keep), s]).drop_columns(["__side", PART_COL])
+
+    return both.groupby(PART_COL).map_groups(upsert, batch_format="pyarrow")
+
+
+_SQL_MERGE_DOCUMENTS = """
+WITH src AS (
+  SELECT doc_id, upper(text) AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, 'merged' AS source, n_chars
+  FROM documents WHERE doc_id % 11 = 3
+)
+SELECT * FROM src
+UNION ALL
+SELECT d.* FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "filter_project": q_filter_project,
+    "top_customers": q_top_customers,
+    "orders_by_segment": q_orders_by_segment,
+    "revenue_by_nation": q_revenue_by_nation,
+    "event_type_stats": q_event_type_stats,
+    "value_counts": q_value_counts,
+    "daily_counts": q_daily_counts,
+    "direct_follows": q_direct_follows,
+    "sessionize": q_sessionize,
+    "sequence_numbers": q_sequence_numbers,
+    "price_percentiles": q_price_percentiles,
+    "distinct_types": q_distinct_types,
+    "isin_filter": q_isin_filter,
+    "null_quality": q_null_quality,
+    "cooccurrence": q_cooccurrence,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "lang_distribution": q_lang_distribution,
+    "lang_id": q_lang_id,
+    "merge_documents": q_merge_documents,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": _SQL_PRICING,
+    "filter_project": _SQL_FILTER_PROJECT,
+    "top_customers": _SQL_TOP_CUSTOMERS,
+    "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
+    "revenue_by_nation": _SQL_REVENUE_BY_NATION,
+    "event_type_stats": _SQL_EVENT_TYPE_STATS,
+    "value_counts": _SQL_VALUE_COUNTS,
+    "daily_counts": _SQL_DAILY_COUNTS,
+    "direct_follows": _SQL_DIRECT_FOLLOWS,
+    "sessionize": _SQL_SESSIONIZE,
+    "sequence_numbers": _SQL_SEQUENCE_NUMBERS,
+    "price_percentiles": _SQL_PRICE_PERCENTILES,
+    "distinct_types": _SQL_DISTINCT_TYPES,
+    "isin_filter": _SQL_ISIN_FILTER,
+    "null_quality": _SQL_NULL_QUALITY,
+    "cooccurrence": _SQL_COOCCURRENCE,
+    "token_counts": _SQL_TOKEN_COUNTS,
+    "quality_scores": _SQL_QUALITY_SCORES,
+    "fingerprints": _SQL_FINGERPRINTS,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "lang_distribution": _SQL_LANG_DISTRIBUTION,
+    # lang_id: non-SQL heuristic → rows-only check
+    "merge_documents": _SQL_MERGE_DOCUMENTS,
+}

@@ -1,0 +1,190 @@
+"""Similarity search + embedding near-dedup over the `embeddings` table
+(`vec_id:int64, embedding:list<float>, label:int32`).
+
+Scale shapes:
+- **brute-force top-k** (the exact baseline): the query matrix is broadcast
+  once (ray.put), every batch does one float64 matmul against it, emits its
+  block-local top-k, and the tiny (queries × k per block) partials are
+  combined at the end — the full corpus streams, only candidates move.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures bucket
+  the corpus with a groupby; candidates meet only within buckets.  Approximate
+  by construction → registered without a SQL oracle (rows-only check).
+- **embedding near-dup pairs**: block × broadcast-corpus cosine with a
+  threshold; at 10^12 rows the LSH bucketing above replaces the broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .queries import _read, _small_arrow
+
+K = 5
+N_QUERIES = 10
+DEDUP_THRESHOLD = 0.35
+LSH_BITS = 12
+LSH_SEED = 1234
+
+
+def _matrix(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, row-normalized float64 matrix) from an embeddings Arrow table."""
+    ids = tbl["vec_id"].to_numpy()
+    flat = tbl["embedding"].combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.chunk(0) if flat.num_chunks == 1 else pa.concat_arrays(flat.chunks)
+    dim = len(flat[0])
+    m = np.asarray(flat.values, dtype=np.float64).reshape(len(ids), dim)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, m / norms
+
+
+class _TopKScorer:
+    """Actor: holds the broadcast query matrix; per batch emits block-local
+    top-k candidates per query (float64 cosine; ties broken by vec_id)."""
+
+    def __init__(self, q_ref, k):
+        import ray
+
+        self.q_ids, self.q_mat = ray.get(q_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _matrix(batch)
+        sims = self.q_mat @ m.T  # (nq, batch)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.q_ids)):
+            s = sims[qi]
+            mask = ids != self.q_ids[qi]  # exclude self-match
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            order = np.lexsort((ids[cand_idx], -s[cand_idx]))[: self.k]
+            pick = cand_idx[order]
+            out_q.extend([self.q_ids[qi]] * len(pick))
+            out_n.extend(ids[pick].tolist())
+            out_s.extend(s[pick].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-K neighbors for the first N_QUERIES vectors."""
+    import ray
+
+    full = _small_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_tbl = full.filter(pa.compute.less(full["vec_id"], pa.scalar(N_QUERIES)))
+    q_ref = ray.put(_matrix(q_tbl))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _TopKScorer, fn_constructor_args=(q_ref, K),
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).to_pandas()
+    # final combine: global top-k per query (tiny)
+    partials = partials.sort_values(["query_id", "sim", "neighbor_id"],
+                                    ascending=[True, False, True])
+    top = partials.groupby("query_id", sort=True).head(K)
+    return top[["query_id", "neighbor_id"]].reset_index(drop=True)
+
+
+SQL_KNN_BRUTEFORCE = f"""
+SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+         ) AS rk
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+) WHERE rk <= {K}
+"""
+
+
+class _DedupScorer:
+    """Near-dup pairs: each batch scores against the broadcast corpus and
+    emits canonical (a < b) pairs above the rounded threshold."""
+
+    def __init__(self, corpus_ref, threshold):
+        import ray
+
+        self.c_ids, self.c_mat = ray.get(corpus_ref)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _matrix(batch)
+        sims = m @ self.c_mat.T
+        bi, cj = np.nonzero(
+            (np.round(sims, 6) >= self.threshold) & (ids[:, None] < self.c_ids[None, :])
+        )
+        return pa.table({
+            "a": pa.array(ids[bi], pa.int64()),
+            "b": pa.array(self.c_ids[cj], pa.int64()),
+        })
+
+
+def q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup candidate pairs (canonical a < b)."""
+    import ray
+
+    corpus = _small_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ref = ray.put(_matrix(corpus))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        _DedupScorer, fn_constructor_args=(ref, DEDUP_THRESHOLD),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+SQL_EMBEDDING_DEDUP = f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= {DEDUP_THRESHOLD}
+"""
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(LSH_SEED))
+    return rng.standard_normal((LSH_BITS, dim))
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate nearest neighbor: random-hyperplane signature
+    → bucket groupby → within-bucket exact top-1.  Approximate (no SQL
+    oracle); deterministic given the fixed seed."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def sign(batch: pa.Table) -> pa.Table:
+        ids, m = _matrix(batch)
+        planes = _lsh_planes(m.shape[1])
+        bits = (planes @ m.T > 0).astype(np.uint64)
+        sig = np.zeros(len(ids), dtype=np.uint64)
+        for b in range(LSH_BITS):
+            sig |= bits[b] << np.uint64(b)
+        return batch.append_column("bucket", pa.array(sig.view(np.int64)))
+
+    def bucket_top1(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = pa.Table.from_pandas(g[["vec_id", "embedding"]], preserve_index=False)
+        ids, m = _matrix(tbl)
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                 "nn_id": pd.Series(dtype=np.int64),
+                                 "sim": pd.Series(dtype=np.float64)})
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        nn = sims.argmax(axis=1)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "nn_id": ids[nn],
+            "sim": np.round(sims[np.arange(len(ids)), nn], 6),
+        })
+
+    return (
+        ds.map_batches(sign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_top1, batch_format="pandas")
+    )

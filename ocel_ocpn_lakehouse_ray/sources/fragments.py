@@ -150,21 +150,11 @@ def batch_to_metas(tbl: pa.Table) -> list[FragmentMeta]:
     ]
 
 
-class FragmentWriteFn:
-    """``map_batches`` stage: each incoming Arrow batch becomes >=1 fragments;
-    emits fragment-metadata rows (tiny) instead of data — the dataset the driver
-    collects to build the commit.  This is the Ray-native version of the
-    reference's staged write (`ingest/daft_batch_ocel_loader.py:151-165`):
-    fragments land in data/ but are invisible until the manifest commit.
-
-    Run as an actor pool (``concurrency=N``) so filesystem handles / settings
-    are set up once per worker; the per-call work is pure vectorized I/O.
-    """
-
-    def __init__(self, root: str, target_bytes: int):
-        self.root = root
-        self.target_bytes = target_bytes
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        metas = write_table_as_fragments(self.root, batch, target_bytes=self.target_bytes)
-        return metas_to_batch(metas)
+def write_batch_as_fragments(batch: pa.Table, *, root: str, target_bytes: int) -> pa.Table:
+    """``map_batches`` stage (stateless task): each incoming Arrow batch
+    becomes >=1 fragments; emits fragment-metadata rows (tiny) instead of
+    data — the dataset the driver collects to build the commit.  This is the
+    Ray-native version of the reference's staged write
+    (`ingest/daft_batch_ocel_loader.py:151-165`): fragments land in data/ but
+    are invisible until the manifest commit."""
+    return metas_to_batch(write_table_as_fragments(root, batch, target_bytes=target_bytes))

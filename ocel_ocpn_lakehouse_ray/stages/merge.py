@@ -1,0 +1,206 @@
+"""MERGE INTO: hash-partitioned shuffle upsert of a source dataset into the
+table on ``image_id`` — matched rows are replaced by the source version,
+unmatched source rows are inserted, and only touched fragments are rewritten.
+
+The reference has no MERGE; its closest machinery is append loaders +
+overwrite refresh + staged commit (SURVEY.md §2.4 J-row "MERGE INTO":
+`ingest/proper_iceberg_loader.py:71-74`, `ops/materialized_views.py:288-290`,
+`ops/commit_staged_files.py:47-88`).  This implements the north_star target
+semantics.
+
+Physical shape (SURVEY.md §7 step 7):
+  1. **Touched-fragment pruning** — the source's image_id key set is tested
+     against each fragment's manifest min/max image_id stats; fragments whose
+     range contains no source key pass through the commit UNREAD.  (At 10^12
+     rows the same check runs on per-fragment key bloom filters; min/max is the
+     stats we maintain today and is exact for range-disjoint fragments.)
+  2. **One shuffle** — touched-target rows and source rows are tagged
+     (__side 0/1), hash-partitioned on image_id (vectorized, P from data size
+     + A16 heuristic) and co-grouped with groupby(__part).map_groups.
+  3. **Per-partition upsert** — within a partition a vectorized Arrow
+     anti-join keeps target rows whose key has no source row, then appends all
+     source rows (update-wins; source-internal dups resolved keep-last).
+     Writes are content-addressed; lineage is journaled per partition →
+     resumable like every other job.
+
+Skew note (north_rule): image_id is unique, so hash partitions are uniform —
+the phash hot keys do NOT concentrate here (they hit the clustering job's
+range partitioner, which salts; SURVEY.md §7 hard part (d): never split a join
+key).  The pre-shuffle histogram check below still guards against pathological
+sources (e.g. a source that repeats one image_id millions of times): oversized
+partitions raise the partition count before the shuffle runs.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state import lineage
+from .shuffle import (
+    PART_COL,
+    assign_hash_part,
+    choose_num_partitions,
+    partition_histogram,
+    skew_ratio,
+)
+
+SIDE_COL = "__side"
+
+
+def prune_touched_fragments(fragments, source_keys: np.ndarray):
+    """Split fragments into (touched, untouched) using manifest image_id
+    min/max stats vs the sorted source key set."""
+    keys = np.sort(np.asarray(source_keys))
+    touched, untouched = [], []
+    for f in fragments:
+        st = f.stats.get("image_id")
+        if not st or st.get("min") is None:
+            touched.append(f)
+            continue
+        i = np.searchsorted(keys, st["min"], side="left")
+        if i < len(keys) and keys[i] <= st["max"]:
+            touched.append(f)
+        else:
+            untouched.append(f)
+    return touched, untouched
+
+
+def _merge_partition(group: pa.Table, *, root, job_id, target_bytes,
+                     key_col: str = "image_id", failpoint=None) -> pa.Table:
+    """map_groups upsert (stateless TASK): one group = one hash partition of
+    both sides; vectorized anti-join keeps unmatched target rows, source rows
+    win.  Idempotent via the lineage journal + content-addressed writes."""
+    from ..sources.fragments import metas_to_batch, write_table_as_fragments
+
+    part = group[PART_COL][0].as_py()
+    pid = f"part-{part:05d}"
+    existing = lineage.load_records(root, job_id)
+    if pid in existing:
+        return metas_to_batch(existing[pid].out_metas())
+    if failpoint is not None and part >= failpoint:
+        raise RuntimeError(f"failpoint: simulated crash at {pid}")
+    side = group[SIDE_COL].to_numpy()
+    tgt = group.filter(pa.array(side == 0))
+    src = group.filter(pa.array(side == 1))
+    if src.num_rows:
+        # source-internal dups: keep the LAST occurrence per key
+        sk = src[key_col].to_pylist()
+        last = {k: i for i, k in enumerate(sk)}
+        if len(last) != src.num_rows:
+            src = src.take(pa.array(sorted(last.values())))
+        # anti-join: target rows whose key is absent from source survive
+        keep = pc.invert(pc.is_in(tgt[key_col], value_set=src[key_col]))
+        merged = pa.concat_tables([tgt.filter(keep), src]).combine_chunks()
+    else:
+        merged = tgt
+    merged = merged.drop_columns([SIDE_COL, PART_COL])
+    metas = write_table_as_fragments(
+        root, merged, target_bytes=target_bytes, name_parts=(job_id, pid),
+    )
+    lineage.write_record(
+        root,
+        lineage.PartitionRecord(
+            job_id=job_id, partition_id=pid,
+            frags_in=[f"part:{part}"],
+            frags_out=[m.to_dict() for m in metas],
+            rows=merged.num_rows,
+            bytes=sum(m.bytes for m in metas),
+            extra={"updates": int(tgt.num_rows - (merged.num_rows - src.num_rows)),
+                   "inserts": int(merged.num_rows - tgt.num_rows)},
+        ),
+    )
+    return metas_to_batch(metas)
+
+
+def run_merge(table, source_ds, *, job_id: str | None = None,
+              num_partitions: int | None = None, failpoint: int | None = None,
+              max_driver_keys: int = 5_000_000):
+    """MERGE source_ds INTO table ON image_id; returns (new_table, report)."""
+    from ..sources.fragments import batch_to_metas
+
+    cfg = table.config
+    job_id = job_id or f"merge-v{table.version}"
+    t0 = time.time()
+
+    meta = lineage.load_job_meta(table.root, job_id)
+    if meta is None:
+        # source key set for fragment pruning (collect keys only — at larger
+        # scale swap for per-fragment blooms; see module docstring)
+        key_batches = [
+            b["image_id"].to_numpy(zero_copy_only=False)
+            for b in source_ds.select_columns(["image_id"]).iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        src_keys = np.concatenate(key_batches) if key_batches else np.array([], dtype=object)
+        if len(src_keys) > max_driver_keys:
+            touched_ids = [f.fragment_id for f in table.fragments]  # no pruning
+        else:
+            touched, _ = prune_touched_fragments(table.fragments, src_keys)
+            touched_ids = [f.fragment_id for f in touched]
+        touched_bytes = sum(f.bytes for f in table.fragments if f.fragment_id in set(touched_ids))
+        P = num_partitions or choose_num_partitions(
+            touched_bytes, cfg.target_fragment_bytes, num_fragments=len(touched_ids)
+        )
+        meta = {"touched": touched_ids, "num_parts": P,
+                "source_rows": int(len(src_keys)), "base_version": table.version}
+        lineage.write_job_meta(table.root, job_id, meta)
+    touched_set = set(meta["touched"])
+    P = meta["num_parts"]
+    touched = [f for f in table.fragments if f.fragment_id in touched_set]
+
+    import ray.data
+
+    if touched:
+        tgt_ds = ray.data.read_parquet(table.fragment_paths(touched))
+    else:
+        tgt_ds = ray.data.from_arrow(table.schema.empty_table())
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = batch.append_column(SIDE_COL, pa.array(np.full(batch.num_rows, side, np.int8)))
+            return assign_hash_part(b, "image_id", P)
+        return fn
+
+    both = tgt_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        source_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    # guard against pathological key skew in the source (see module docstring)
+    if meta.get("skew_checked") is not True and meta["source_rows"] > 1_000_000:
+        hist = partition_histogram(source_ds, "image_id", P)
+        if skew_ratio(hist) > cfg.skew_alarm_ratio:
+            P = P * 2  # split partitions once; persisted below
+        meta.update({"num_parts": P, "skew_checked": True})
+        lineage.write_job_meta(table.root, job_id, meta)
+
+    meta_ds = both.groupby(PART_COL).map_groups(
+        _merge_partition,
+        fn_kwargs=dict(root=table.root, job_id=job_id,
+                       target_bytes=cfg.target_fragment_bytes, failpoint=failpoint),
+        batch_format="pyarrow",
+    )
+    add = []
+    for b in meta_ds.iter_batches(batch_format="pyarrow"):
+        add.extend(batch_to_metas(b))
+    records = lineage.load_records(table.root, job_id)
+    by_id = {m.fragment_id: m for rec in records.values() for m in rec.out_metas()}
+    add = list(by_id.values())
+    rows = sum(rec.rows for rec in records.values())
+    updates = sum(rec.extra.get("updates", 0) for rec in records.values())
+    inserts = sum(rec.extra.get("inserts", 0) for rec in records.values())
+    elapsed = time.time() - t0
+    new_table = table.commit(
+        operation="merge",
+        add=add,
+        remove_ids=touched_set,
+        summary={"job_id": job_id, "partitions": P, "touched_fragments": len(touched_set),
+                 "untouched_fragments": len(table.fragments) - len(touched_set),
+                 "rows": rows, "updates": updates, "inserts": inserts,
+                 "seconds": round(elapsed, 3)},
+    )
+    report = dict(new_table.manifest.summary)
+    report["rows_per_sec"] = round(rows / elapsed, 1) if elapsed > 0 else None
+    return new_table, report

@@ -179,22 +179,18 @@ class LakeTable:
         return self.commit(operation="append", add=metas, remove_ids=set(),
                            summary={"added_fragments": len(metas), "added_rows": tbl.num_rows})
 
-    def append_dataset(self, ds, *, concurrency: int | None = None) -> "LakeTable":
-        """Distributed append: FragmentWriteFn actor pool writes fragments,
-        driver collects the (tiny) metadata dataset and commits once — the real
-        two-phase staged-write→commit (reference S6)."""
-        from .sources.fragments import FragmentWriteFn, batch_to_metas
+    def append_dataset(self, ds) -> "LakeTable":
+        """Distributed append: fragment-writer tasks persist fragments, the
+        driver collects the (tiny) metadata dataset and commits once — the
+        real two-phase staged-write→commit (reference S6)."""
+        from .sources.fragments import batch_to_metas, write_batch_as_fragments
 
-        if concurrency is None:
-            import ray
-
-            concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
         meta_ds = ds.map_batches(
-            FragmentWriteFn,
-            fn_constructor_args=(self.root, self.config.target_fragment_bytes),
+            write_batch_as_fragments,
+            fn_kwargs=dict(root=self.root,
+                           target_bytes=self.config.target_fragment_bytes),
             batch_format="pyarrow",
             batch_size=None,
-            concurrency=concurrency,
         )
         metas = []
         for b in meta_ds.iter_batches(batch_format="pyarrow"):
