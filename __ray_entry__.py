@@ -69,8 +69,10 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocel_ocpn_lakehouse_ray.pipelines import dedup, maintenance_queries, similarity
     from ocel_ocpn_lakehouse_ray.pipelines.queries import QUERIES
+    from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_QUERIES
 
     out = dict(QUERIES)
+    out.update(EXTRA_QUERIES)
     out.update({
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "embedding_dedup": similarity.q_embedding_dedup,
@@ -90,8 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from ocel_ocpn_lakehouse_ray.pipelines import similarity
     from ocel_ocpn_lakehouse_ray.pipelines.queries import ORACLE_SQL
+    from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_ORACLE_SQL
 
     out = dict(ORACLE_SQL)
+    out.update(EXTRA_ORACLE_SQL)
     out.update({
         "knn_bruteforce": similarity.SQL_KNN_BRUTEFORCE,
         "embedding_dedup": similarity.SQL_EMBEDDING_DEDUP,

@@ -1,0 +1,278 @@
+"""Second tranche of operator-coverage queries: semi/anti joins, HAVING,
+conditional aggregation, UNION ALL, string scalar functions, JSON extraction,
+BETWEEN ranges — filling out the SURVEY.md §2 scalar/set-op families
+(§2.7 D3/D4, §2.8 string/JSON functions, §2.4 J6 point lookups)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .queries import _read, _rename, _small_arrow, broadcast_join
+
+
+def q_semi_join(sf_dir: str):
+    """Semi-join (J3 flavor): customers having at least one order — the
+    filter-then-join lookup (`agent/process_mining_queries.py:356-363`).
+    Implemented as an is_in membership filter against the broadcast key set
+    (no row multiplication, unlike an inner join)."""
+    import ray
+
+    keys = _small_arrow(sf_dir, "orders", columns=["o_custkey"])["o_custkey"]
+    key_set = pa.array(sorted(set(keys.to_pylist())), pa.int64())
+    ref = ray.put(key_set)
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        return b.filter(pc.is_in(b["c_custkey"], value_set=_r.get(ref)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """Anti-join: customers with no URGENT-priority order (the MERGE
+    not-matched path standalone; predicate chosen to be non-empty at every
+    scale factor)."""
+    import ray
+
+    ords = _small_arrow(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    urgent = ords.filter(pc.equal(ords["o_orderpriority"], pa.scalar("1-URGENT")))
+    key_set = pa.array(sorted(set(urgent["o_custkey"].to_pylist())), pa.int64())
+    ref = ray.put(key_set)
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        return b.filter(pc.invert(pc.is_in(b["c_custkey"], value_set=_r.get(ref))))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_having(sf_dir: str):
+    """Grouped agg + HAVING: order counts per customer above a threshold —
+    post-aggregation filter (A2 + M6 composed)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+
+    def fn(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_orders"], pa.scalar(12)))
+
+    return agg.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_HAVING = """
+SELECT o_custkey, count(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING count(*) >= 12
+"""
+
+
+def q_case_when(sf_dir: str):
+    """Conditional aggregation (the reference's quality scoring pattern,
+    `ops/schema_evolution.py:169-244`): price-band counts per order priority."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        hi = pc.cast(pc.greater(b["o_totalprice"], pa.scalar(200000.0)), pa.int64())
+        lo = pc.cast(pc.less_equal(b["o_totalprice"], pa.scalar(50000.0)), pa.int64())
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"], "hi": hi, "lo": lo,
+        })
+
+    return (ds.map_batches(fn, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("hi", alias_name="n_high"),
+                       Sum("lo", alias_name="n_low"),
+                       Count(alias_name="n")))
+
+
+_SQL_CASE_WHEN = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_high,
+       sum(CASE WHEN o_totalprice <= 50000 THEN 1 ELSE 0 END) AS n_low,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_union_all(sf_dir: str):
+    """D4 union of loads: two disjoint filters unioned (the repeated
+    append = UNION ALL table semantics, `ingest/complete_ocel_loader.py:131-183`)."""
+    lo = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"])
+    hi = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def f_lo(b):
+        return b.filter(pc.less(b["p_retailprice"], pa.scalar(950.0)))
+
+    def f_hi(b):
+        return b.filter(pc.greater(b["p_retailprice"], pa.scalar(1500.0)))
+
+    return lo.map_batches(f_lo, batch_format="pyarrow").union(
+        hi.map_batches(f_hi, batch_format="pyarrow"))
+
+
+_SQL_UNION_ALL = """
+SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_retailprice < 950
+UNION ALL
+SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_retailprice > 1500
+"""
+
+
+def q_string_funcs(sf_dir: str):
+    """§2.8 string scalars: upper, substring, length, concat, prefix match
+    (`ingest/complete_ocel_loader.py:296,314-318`)."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "name_upper": pc.utf8_upper(b["c_name"]),
+            "name_prefix": pc.utf8_slice_codeunits(b["c_name"], 0, 8),
+            "name_len": pc.cast(pc.utf8_length(b["c_name"]), pa.int64()),
+            "tag": pc.binary_join_element_wise(
+                b["c_mktsegment"], pc.cast(b["c_custkey"], pa.string()), ":"
+            ),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_STRING_FUNCS = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substr(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       c_mktsegment || ':' || CAST(c_custkey AS VARCHAR) AS tag
+FROM customer
+"""
+
+
+def q_json_extract(sf_dir: str):
+    """§2.8 JSON scalar: extract the numeric field from the events `props`
+    JSON payload (`ingest/complete_ocel_loader.py:89,436-440` json round-trip)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in b["props"].to_pylist()),
+            dtype=np.int64, count=b.num_rows,
+        )
+        return pa.table({"event_id": b["event_id"], "k": ks})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def q_between(sf_dir: str):
+    """J6/M6 point-lookup style range predicate with fragment-prunable
+    bounds: lineitem rows in a quantity band, projected."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_quantity"], pa.scalar(10.0)),
+                    pc.less_equal(b["l_quantity"], pa.scalar(12.0)))
+        return b.filter(m)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_BETWEEN = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 12
+"""
+
+
+def q_supplier_nation(sf_dir: str):
+    """J4 dimension enrichment chain: supplier ⋈ nation ⋈ region → counts."""
+    from ray.data.aggregate import Count, Sum
+
+    nation = _small_arrow(sf_dir, "nation")
+    region = _small_arrow(sf_dir, "region")
+    dim = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    joined = broadcast_join(ds, dim, keys=["s_nationkey"], right_keys=["n_nationkey"])
+    return joined.groupby(["r_name", "n_name"]).aggregate(
+        Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_bal"))
+
+
+_SQL_SUPPLIER_NATION = """
+SELECT r_name, n_name, count(*) AS n_suppliers, sum(s_acctbal) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_part_brand_stats(sf_dir: str):
+    """A4 grouped mean/min/max over part attributes."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+    return ds.groupby("p_brand").aggregate(
+        Mean("p_retailprice", alias_name="avg_price"),
+        Min("p_size", alias_name="min_size"),
+        Max("p_size", alias_name="max_size"),
+        Count(alias_name="n_parts"),
+    )
+
+
+_SQL_PART_BRAND_STATS = """
+SELECT p_brand, avg(p_retailprice) AS avg_price,
+       min(p_size) AS min_size, max(p_size) AS max_size, count(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
+EXTRA_QUERIES = {
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "having": q_having,
+    "case_when": q_case_when,
+    "union_all": q_union_all,
+    "string_funcs": q_string_funcs,
+    "json_extract": q_json_extract,
+    "between": q_between,
+    "supplier_nation": q_supplier_nation,
+    "part_brand_stats": q_part_brand_stats,
+}
+
+EXTRA_ORACLE_SQL = {
+    "semi_join": _SQL_SEMI_JOIN,
+    "anti_join": _SQL_ANTI_JOIN,
+    "having": _SQL_HAVING,
+    "case_when": _SQL_CASE_WHEN,
+    "union_all": _SQL_UNION_ALL,
+    "string_funcs": _SQL_STRING_FUNCS,
+    "json_extract": _SQL_JSON_EXTRACT,
+    "between": _SQL_BETWEEN,
+    "supplier_nation": _SQL_SUPPLIER_NATION,
+    "part_brand_stats": _SQL_PART_BRAND_STATS,
+}

@@ -176,10 +176,13 @@ def create_image_table(
     from ..config import TableConfig
     from ..table import LakeTable
 
-    config = config or TableConfig(
-        target_fragment_bytes=1 << 20,  # 1 MB toy target preserves 64/256 ratios
-        small_file_bytes=1 << 18,
-    )
+    if config is None:
+        # scale the toy target with n so maintenance jobs see O(16) target-size
+        # units at any tier (preserving the reference 4:1 target:small ratio,
+        # 256 MB : 64 MB) instead of hundreds of micro-bins
+        est_total = n * 13_000  # ~13 KB mean encoded row
+        target = min(256 << 20, max(1 << 20, est_total // 16))
+        config = TableConfig(target_fragment_bytes=target, small_file_bytes=target // 4)
     t = LakeTable.create(root, IMAGE_SCHEMA, config)
     ds = synth_images_dataset(n, seed, num_blocks=num_fragments)
     return t.append_dataset(ds)

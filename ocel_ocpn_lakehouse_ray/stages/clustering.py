@@ -85,9 +85,9 @@ def _write_partition(group: pa.Table, *, root, job_id, target_bytes, failpoint=N
     from ..sources.fragments import metas_to_batch
 
     pid = f"part-{group[PART_COL][0].as_py():05d}"
-    existing = lineage.load_records(root, job_id)
-    if pid in existing:
-        return metas_to_batch(existing[pid].out_metas())
+    prior = lineage.load_record(root, job_id, pid)
+    if prior is not None:
+        return metas_to_batch(prior.out_metas())
     if failpoint is not None and group[PART_COL][0].as_py() >= failpoint:
         raise RuntimeError(f"failpoint: simulated crash at {pid}")
     g = group.sort_by([(SKEY_COL, "ascending")])

@@ -86,12 +86,12 @@ def _compact_bin(batch: pa.Table, *, root: str, job_id: str, target_bytes: int,
     content-addressed fragments, records lineage, and emits the new fragment
     metadata rows.  Idempotent: journaled bins are returned as-is (Ray retry
     safety)."""
-    existing = lineage.load_records(root, job_id)
     out = []
     for row in batch.to_pylist():
         bin_id = row["bin_id"]
-        if bin_id in existing:  # already journaled (retried task)
-            out.extend(existing[bin_id].out_metas())
+        prior = lineage.load_record(root, job_id, bin_id)
+        if prior is not None:  # already journaled (retried task)
+            out.extend(prior.out_metas())
             continue
         if failpoint is not None and int(bin_id.split("-")[1]) >= failpoint:
             raise RuntimeError(f"failpoint: simulated crash at {bin_id}")

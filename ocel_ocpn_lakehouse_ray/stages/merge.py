@@ -78,9 +78,9 @@ def _merge_partition(group: pa.Table, *, root, job_id, target_bytes,
 
     part = group[PART_COL][0].as_py()
     pid = f"part-{part:05d}"
-    existing = lineage.load_records(root, job_id)
-    if pid in existing:
-        return metas_to_batch(existing[pid].out_metas())
+    prior = lineage.load_record(root, job_id, pid)
+    if prior is not None:
+        return metas_to_batch(prior.out_metas())
     if failpoint is not None and part >= failpoint:
         raise RuntimeError(f"failpoint: simulated crash at {pid}")
     side = group[SIDE_COL].to_numpy()

@@ -59,6 +59,18 @@ def write_record(root: str, rec: PartitionRecord) -> None:
     os.replace(tmp, final)
 
 
+
+
+def load_record(root: str, job_id: str, partition_id: str):
+    """Single-partition journal lookup (one stat + one small read) — the
+    per-task idempotency check; never scans the whole journal directory."""
+    p = record_path(root, job_id, partition_id)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return PartitionRecord(**json.load(f))
+
+
 def load_records(root: str, job_id: str) -> dict[str, PartitionRecord]:
     d = journal_dir(root, job_id)
     out: dict[str, PartitionRecord] = {}

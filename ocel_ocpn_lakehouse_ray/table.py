@@ -140,10 +140,26 @@ class LakeTable:
         import ray.data
 
         frags = self.live_fragments(predicates)
+        schema = self.schema
         if not frags:
-            return ray.data.from_arrow(self.schema.empty_table())
+            tbl = schema.empty_table()
+            return ray.data.from_arrow(tbl.select(columns) if columns else tbl)
+        # explicit schema: fragments written before an additive schema
+        # evolution lack the appended columns — the read fills them with nulls.
+        if self.manifest.config.get("schema_evolved") and columns:
+            # the parquet reader cannot PROJECT a column missing from a file:
+            # read unprojected (schema fill) then select.  Only evolved tables
+            # pay this; unevolved tables keep full projection pushdown.
+            ds = ray.data.read_parquet(
+                self.fragment_paths(frags), schema=schema, **read_kwargs
+            )
+            return ds.select_columns(columns)
+        read_schema = (
+            pa.schema([schema.field(c) for c in columns]) if columns else schema
+        )
         return ray.data.read_parquet(
-            self.fragment_paths(frags), columns=columns, **read_kwargs
+            self.fragment_paths(frags), columns=columns, schema=read_schema,
+            **read_kwargs
         )
 
     def to_arrow(self, columns: list[str] | None = None) -> pa.Table:
