@@ -71,9 +71,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocel_ocpn_lakehouse_ray.pipelines.queries import QUERIES
     from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_QUERIES
 
+    from ocel_ocpn_lakehouse_ray.pipelines.ocpn import q_petri_arcs
+
     out = dict(QUERIES)
     out.update(EXTRA_QUERIES)
     out.update({
+        "petri_arcs": q_petri_arcs,
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "embedding_dedup": similarity.q_embedding_dedup,
         "ann_lsh": similarity.q_ann_lsh,
@@ -94,9 +97,12 @@ def oracle_sql() -> dict[str, str]:
     from ocel_ocpn_lakehouse_ray.pipelines.queries import ORACLE_SQL
     from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_ORACLE_SQL
 
+    from ocel_ocpn_lakehouse_ray.pipelines.ocpn import SQL_PETRI_ARCS
+
     out = dict(ORACLE_SQL)
     out.update(EXTRA_ORACLE_SQL)
     out.update({
+        "petri_arcs": SQL_PETRI_ARCS,
         "knn_bruteforce": similarity.SQL_KNN_BRUTEFORCE,
         "embedding_dedup": similarity.SQL_EMBEDDING_DEDUP,
     })

@@ -1,0 +1,161 @@
+"""Job entrypoint for ``ray job submit`` (north_rule: maintenance suite is
+launched as Ray jobs against a fixed-size cluster).
+
+Usage (local sandbox stand-in; on a real cluster drop ``--num-cpus`` and let
+``ray job submit -- python -m ocel_ocpn_lakehouse_ray.cli ...`` attach to the
+cluster address):
+
+    python -m ocel_ocpn_lakehouse_ray.cli create  --root /tmp/t --rows 20000
+    python -m ocel_ocpn_lakehouse_ray.cli compact --root /tmp/t --job-id c1
+    python -m ocel_ocpn_lakehouse_ray.cli cluster --root /tmp/t --order zorder
+    python -m ocel_ocpn_lakehouse_ray.cli merge   --root /tmp/t --source-rows 20000
+    python -m ocel_ocpn_lakehouse_ray.cli expire  --root /tmp/t --keep-last 3
+    python -m ocel_ocpn_lakehouse_ray.cli plan    --root /tmp/t
+    python -m ocel_ocpn_lakehouse_ray.cli verify  --root /tmp/t --rows 20000
+
+Each command prints a one-line JSON report.  Jobs are resumable: rerun with
+the same ``--job-id`` after an interruption.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    # Spin up the worker pool before the job's own timing starts: a freshly
+    # `ray job submit`-ted process otherwise charges worker cold-start (python
+    # imports in every worker) to the first pipeline.  A long-running cluster
+    # (the north-rule deployment) is always warm.
+    import ray.data
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ray.data.range(cpus * 1000, override_num_blocks=cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ocel_ocpn_lakehouse_ray.cli")
+    ap.add_argument("command", choices=["create", "compact", "cluster", "merge",
+                                        "expire", "gc", "fsck", "plan", "verify",
+                                        "decode-verify", "health", "history"])
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--rows", type=int, default=20000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--job-id", default=None)
+    ap.add_argument("--order", default="zorder", choices=["zorder", "hilbert"])
+    ap.add_argument("--source-rows", type=int, default=None)
+    ap.add_argument("--keep-last", type=int, default=10)
+    ap.add_argument("--max-age-days", type=float, default=None)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--version", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    _init_ray(args.num_cpus)
+    from .table import LakeTable
+
+    if args.command == "create":
+        from .sources.generator import create_image_table
+
+        t = create_image_table(args.root, args.rows, seed=args.seed,
+                               num_fragments=max(8, args.rows // 50))
+        out = {"version": t.version, "rows": t.manifest.total_rows,
+               "fragments": len(t.fragments), "bytes": t.manifest.total_bytes}
+    elif args.command == "compact":
+        from .stages.compaction import run_compaction
+
+        _, out = run_compaction(LakeTable.load(args.root), job_id=args.job_id)
+    elif args.command == "cluster":
+        from .stages.clustering import run_clustering
+
+        _, out = run_clustering(LakeTable.load(args.root), order=args.order,
+                                job_id=args.job_id)
+    elif args.command == "merge":
+        from .sources.generator import merge_source_dataset
+        from .stages.merge import run_merge
+
+        t = LakeTable.load(args.root)
+        n = args.source_rows or t.manifest.total_rows
+        src = merge_source_dataset(n, seed=args.seed, num_blocks=max(4, n // 500))
+        _, out = run_merge(t, src, job_id=args.job_id)
+    elif args.command == "expire":
+        from .stages.gc import expire_and_gc
+
+        out = expire_and_gc(args.root, keep_last=args.keep_last,
+                            max_age_days=args.max_age_days)
+    elif args.command == "gc":
+        from .stages.gc import garbage_collect
+
+        out = garbage_collect(args.root)
+    elif args.command == "fsck":
+        from .stages.gc import fsck
+
+        out = fsck(args.root)
+    elif args.command == "plan":
+        from .stages.plan import generate_maintenance_plan
+
+        out = generate_maintenance_plan(LakeTable.load(args.root))
+    elif args.command == "health":
+        from .state import manifest as mf
+        from .stages.health import analyze_health
+
+        t = LakeTable.load(args.root)
+        rep = analyze_health(t.manifest,
+                             num_snapshots=len(mf.list_manifest_versions(args.root)),
+                             config=t.config)
+        out = rep.__dict__
+    elif args.command == "history":
+        out = {"versions": [
+            {"version": m.version, "operation": m.operation,
+             "rows": m.total_rows, "fragments": len(m.fragments),
+             "summary": m.summary}
+            for m in LakeTable.load(args.root).history()
+        ]}
+    elif args.command == "decode-verify":
+        import time as _time
+
+        import ray
+
+        from .stages.multimodal import decode_stats_pipeline
+
+        t = LakeTable.load(args.root, version=args.version)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        t0 = _time.time()
+        n = decode_stats_pipeline(t, batch_size=128, num_blocks=cpus * 3).count()
+        out = {"rows": n, "seconds": round(_time.time() - t0, 3)}
+    elif args.command == "verify":
+        import numpy as np
+        import ray.data
+
+        from .sources.generator import gen_batch
+        from .stages.verify import scan_equivalence
+
+        t = LakeTable.load(args.root, version=args.version)
+        expected = ray.data.from_arrow(gen_batch(np.arange(args.rows), args.seed))
+        out = scan_equivalence(t.to_dataset(), expected)
+    else:  # pragma: no cover
+        raise SystemExit(2)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

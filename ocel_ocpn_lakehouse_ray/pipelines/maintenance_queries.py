@@ -27,8 +27,12 @@ from ..stages.gc import expire_and_gc, fsck
 from ..stages.merge import run_merge
 from ..table import LakeTable
 
-CACHE_ROOT = "/tmp/graft_cache"
-WORK_ROOT = "/tmp/graft_work"
+# scratch roots: prefer tmpfs — on this single-node sandbox the disk is one
+# shared device, so benchmarks on /tmp measure disk bandwidth, not the
+# engine; on a real cluster each node brings its own disks.
+_SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+CACHE_ROOT = os.environ.get("GRAFT_CACHE_ROOT", f"{_SCRATCH}/graft_cache")
+WORK_ROOT = os.environ.get("GRAFT_WORK_ROOT", f"{_SCRATCH}/graft_work")
 _SCALE_N = {"0.001": 400, "0.01": 2000, "0.1": 20000}
 
 

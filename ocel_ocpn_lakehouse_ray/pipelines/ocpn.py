@@ -1,0 +1,62 @@
+"""DFG → Petri-net synthesis (reference W4,
+`ingest/simple_ocpn_generator.py:215-265`): build object-centric-Petri-net
+graph rows (transitions, places, arcs) from the direct-follows edge aggregate.
+
+Dataflow: the heavy part is the DFG itself (one groupby shuffle + per-group
+lag pairing, pipelines/queries.q_direct_follows); the graph synthesis over the
+aggregated edge list is a small vectorized transform.  The arc construction
+rule mirrors the reference: every edge (a→b) becomes a place ``p_a__b`` with
+arcs  t_a → p_a__b → t_b.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .queries import q_direct_follows
+
+
+def q_petri_arcs(sf_dir: str):
+    """Arc table of the synthesized Petri net: (source, target, kind) where
+    kind says transition→place or place→transition."""
+    edges = q_direct_follows(sf_dir)
+
+    def to_arcs(b: pa.Table) -> pa.Table:
+        src = b["src"].to_pylist()
+        dst = b["dst"].to_pylist()
+        n = b["n"].to_pylist()
+        rows = {"source": [], "target": [], "kind": [], "frequency": []}
+        for s, d, f in zip(src, dst, n):
+            place = f"p_{s}__{d}"
+            rows["source"].append(f"t_{s}")
+            rows["target"].append(place)
+            rows["kind"].append("t2p")
+            rows["frequency"].append(f)
+            rows["source"].append(place)
+            rows["target"].append(f"t_{d}")
+            rows["kind"].append("p2t")
+            rows["frequency"].append(f)
+        return pa.table({
+            "source": rows["source"], "target": rows["target"],
+            "kind": rows["kind"],
+            "frequency": pa.array(rows["frequency"], pa.int64()),
+        })
+
+    return edges.map_batches(to_arcs, batch_format="pyarrow")
+
+
+SQL_PETRI_ARCS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), dfg AS (
+  SELECT prev_type AS src, event_type AS dst, count(*) AS n
+  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT 't_' || src AS source, 'p_' || src || '__' || dst AS target,
+       't2p' AS kind, n AS frequency FROM dfg
+UNION ALL
+SELECT 'p_' || src || '__' || dst AS source, 't_' || dst AS target,
+       'p2t' AS kind, n AS frequency FROM dfg
+"""

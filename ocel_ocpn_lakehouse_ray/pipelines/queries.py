@@ -15,7 +15,6 @@ the idioms in SURVEY.md §2's "RD mapping" column:
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np

@@ -8,11 +8,10 @@ from __future__ import annotations
 import json
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .queries import _read, _rename, _small_arrow, broadcast_join
+from .queries import _read, _small_arrow, broadcast_join
 
 
 def q_semi_join(sf_dir: str):

@@ -177,11 +177,14 @@ def create_image_table(
     from ..table import LakeTable
 
     if config is None:
-        # scale the toy target with n so maintenance jobs see O(16) target-size
+        # scale the toy target with n so maintenance jobs see O(64) target-size
         # units at any tier (preserving the reference 4:1 target:small ratio,
-        # 256 MB : 64 MB) instead of hundreds of micro-bins
+        # 256 MB : 64 MB).  Unit count governs task parallelism: it must
+        # comfortably exceed the benched CPU counts or wall time is bounded by
+        # the longest task, not the cluster (at real scale the 256 MB cap
+        # applies and units >> CPUs automatically).
         est_total = n * 13_000  # ~13 KB mean encoded row
-        target = min(256 << 20, max(1 << 20, est_total // 16))
+        target = min(256 << 20, max(1 << 20, est_total // 64))
         config = TableConfig(target_fragment_bytes=target, small_file_bytes=target // 4)
     t = LakeTable.create(root, IMAGE_SCHEMA, config)
     ds = synth_images_dataset(n, seed, num_blocks=num_fragments)

@@ -59,11 +59,27 @@ def _salted(batch: pa.Table, order: str) -> np.ndarray:
 def sample_boundaries(table, order: str, num_parts: int, sample_frac: float = None) -> list[int]:
     """Deterministic-enough boundary estimation: sample salted keys, take
     evenly spaced quantiles.  Only the (phash, w, h, image_id) columns are
-    read — never the image payload (prune at the read)."""
-    ds = table.to_dataset(columns=["phash", "w", "h", "image_id"])
+    read — never the image payload — and when a small row fraction suffices,
+    only a stratified subset of FRAGMENTS is opened at all (every k-th by
+    sorted id: cheap, unbiased enough for range boundaries; persisted to the
+    job journal so resume never depends on re-sampling)."""
     total = table.manifest.total_rows
+    if total == 0 or not table.fragments or num_parts <= 1:
+        return []
     target_sample = min(max(20 * num_parts, 2000), 200_000)
     frac = sample_frac if sample_frac is not None else min(1.0, target_sample / max(1, total))
+    frags = sorted(table.fragments, key=lambda f: f.fragment_id)
+    if frac < 0.25 and len(frags) >= 8:
+        step = max(1, int(0.25 / max(frac, 1e-9)))
+        subset = frags[:: min(step, max(1, len(frags) // 4))]
+        frac = min(1.0, target_sample / max(1, sum(f.rows for f in subset)))
+    else:
+        subset = frags
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        table.fragment_paths(subset), columns=["phash", "w", "h", "image_id"]
+    )
     if frac < 1.0:
         ds = ds.random_sample(frac, seed=42)
     keys = []
@@ -150,7 +166,12 @@ def run_clustering(table, *, order: str | None = None, job_id: str | None = None
         return batch.append_column(SKEY_COL, pa.array(sk, pa.uint64())) \
                     .append_column(PART_COL, pa.array(part, pa.int32()))
 
-    ds = table.to_dataset()
+    # read with enough blocks that the shuffle's map side saturates the
+    # cluster (small-file coalescing would otherwise cap it at ~2 blocks/GB)
+    import ray
+
+    nblocks = max(P, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    ds = table.to_dataset(override_num_blocks=nblocks)
     meta_ds = (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby(PART_COL)

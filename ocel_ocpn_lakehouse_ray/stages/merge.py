@@ -122,61 +122,89 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
     """MERGE source_ds INTO table ON image_id; returns (new_table, report)."""
     from ..sources.fragments import batch_to_metas
 
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
     cfg = table.config
     job_id = job_id or f"merge-v{table.version}"
     t0 = time.time()
 
+    # STAGE THE SOURCE: run the source pipeline exactly once, writing it as
+    # parquet (tagged __side=1) into the job's journal area.  Both sides then
+    # enter ONE read_parquet — target fragments lack __side and are null-filled
+    # by the read schema — so there is no Dataset.union (Ray's union operator
+    # serializes poorly and tripled the shuffle cost when measured) and no
+    # second execution of the source pipeline for key collection.
+    src_dir = os.path.join(lineage.journal_dir(table.root, job_id), "source")
+    marker = os.path.join(src_dir, "_SUCCESS")
+    if not os.path.exists(marker):  # resume reuses the staged source
+        def tag_src(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                SIDE_COL, pa.array(np.full(batch.num_rows, 1, np.int8))
+            )
+
+        source_ds.map_batches(tag_src, batch_format="pyarrow").write_parquet(src_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    src_files = sorted(
+        p for p in glob.glob(os.path.join(src_dir, "*.parquet"))
+    )
+
     meta = lineage.load_job_meta(table.root, job_id)
     if meta is None:
-        # source key set for fragment pruning (collect keys only — at larger
-        # scale swap for per-fragment blooms; see module docstring)
-        key_batches = [
-            b["image_id"].to_numpy(zero_copy_only=False)
-            for b in source_ds.select_columns(["image_id"]).iter_batches(batch_format="pyarrow")
-            if b.num_rows
-        ]
-        src_keys = np.concatenate(key_batches) if key_batches else np.array([], dtype=object)
-        if len(src_keys) > max_driver_keys:
+        # source key set for fragment pruning from the staged files (columnar,
+        # keys only — at 10^12 rows swap for per-fragment blooms; docstring)
+        src_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in src_files)
+        if src_rows > max_driver_keys:
             touched_ids = [f.fragment_id for f in table.fragments]  # no pruning
         else:
+            key_tbls = [pq.read_table(p, columns=["image_id"]) for p in src_files]
+            src_keys = (
+                pa.concat_tables(key_tbls)["image_id"].to_numpy(zero_copy_only=False)
+                if key_tbls else np.array([], dtype=object)
+            )
             touched, _ = prune_touched_fragments(table.fragments, src_keys)
             touched_ids = [f.fragment_id for f in touched]
         touched_bytes = sum(f.bytes for f in table.fragments if f.fragment_id in set(touched_ids))
         P = num_partitions or choose_num_partitions(
             touched_bytes, cfg.target_fragment_bytes, num_fragments=len(touched_ids)
         )
+        # guard against pathological key skew in the source (module docstring)
+        if src_rows > 1_000_000:
+            hist = partition_histogram(
+                ray.data.read_parquet(src_files, columns=["image_id"]), "image_id", P
+            )
+            if skew_ratio(hist) > cfg.skew_alarm_ratio:
+                P *= 2
         meta = {"touched": touched_ids, "num_parts": P,
-                "source_rows": int(len(src_keys)), "base_version": table.version}
+                "source_rows": int(src_rows), "base_version": table.version}
         lineage.write_job_meta(table.root, job_id, meta)
     touched_set = set(meta["touched"])
     P = meta["num_parts"]
     touched = [f for f in table.fragments if f.fragment_id in touched_set]
 
-    import ray.data
+    read_schema = table.schema.append(pa.field(SIDE_COL, pa.int8()))
+    nblocks = max(P, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    both_paths = table.fragment_paths(touched) + src_files
+    if not both_paths:  # empty source on empty/unmatched table: nothing to do
+        return table, {"job_id": job_id, "partitions": P, "rows": 0,
+                       "updates": 0, "inserts": 0, "seconds": 0.0,
+                       "touched_fragments": 0,
+                       "untouched_fragments": len(table.fragments)}
+    ds = ray.data.read_parquet(both_paths, schema=read_schema,
+                               override_num_blocks=nblocks)
 
-    if touched:
-        tgt_ds = ray.data.read_parquet(table.fragment_paths(touched))
-    else:
-        tgt_ds = ray.data.from_arrow(table.schema.empty_table())
+    def assign(batch: pa.Table) -> pa.Table:
+        side = pc.fill_null(batch[SIDE_COL], 0)  # null = target fragment row
+        i = batch.schema.get_field_index(SIDE_COL)
+        batch = batch.set_column(i, SIDE_COL, pc.cast(side, pa.int8()))
+        return assign_hash_part(batch, "image_id", P)
 
-    def tag(side):
-        def fn(batch: pa.Table) -> pa.Table:
-            b = batch.append_column(SIDE_COL, pa.array(np.full(batch.num_rows, side, np.int8)))
-            return assign_hash_part(b, "image_id", P)
-        return fn
-
-    both = tgt_ds.map_batches(tag(0), batch_format="pyarrow").union(
-        source_ds.map_batches(tag(1), batch_format="pyarrow")
-    )
-    # guard against pathological key skew in the source (see module docstring)
-    if meta.get("skew_checked") is not True and meta["source_rows"] > 1_000_000:
-        hist = partition_histogram(source_ds, "image_id", P)
-        if skew_ratio(hist) > cfg.skew_alarm_ratio:
-            P = P * 2  # split partitions once; persisted below
-        meta.update({"num_parts": P, "skew_checked": True})
-        lineage.write_job_meta(table.root, job_id, meta)
-
-    meta_ds = both.groupby(PART_COL).map_groups(
+    meta_ds = ds.map_batches(assign, batch_format="pyarrow").groupby(PART_COL).map_groups(
         _merge_partition,
         fn_kwargs=dict(root=table.root, job_id=job_id,
                        target_bytes=cfg.target_fragment_bytes, failpoint=failpoint),

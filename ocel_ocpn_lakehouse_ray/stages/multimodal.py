@@ -139,11 +139,22 @@ class DecodeAudio:
         })
 
 
-def decode_stats_pipeline(table, *, concurrency=4, batch_size=64):
-    """table → DecodeStats actor pool (columns pruned at the read to the
-    payload + metadata actually needed)."""
-    ds = table.to_dataset(columns=["image_id", "bytes", "fmt", "w", "h"])
-    return ds.map_batches(
-        DecodeStats, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency,
-    )
+def decode_stats_pipeline(table, *, concurrency=None, batch_size=64, num_blocks=None):
+    """table → decode-stats stage (columns pruned at the read to the payload +
+    metadata actually needed).
+
+    Runs as stateless TASKS by default — the pure-python codec has no
+    per-worker setup, and an actor pool would pay ramp-up latency for nothing;
+    pass ``concurrency`` to force an actor pool (the shape a real codec-library
+    stage with per-worker init would use).
+
+    ``num_blocks``: decode is CPU-bound, but read tasks coalesce small files
+    into ~128 MB blocks, capping map parallelism at the block count — split
+    into >= cluster-CPU blocks (cheap, no shuffle) so the stage saturates."""
+    read_kwargs = {"override_num_blocks": num_blocks} if num_blocks else {}
+    ds = table.to_dataset(columns=["image_id", "bytes", "fmt", "w", "h"], **read_kwargs)
+    if concurrency is not None:
+        return ds.map_batches(DecodeStats, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency)
+    return ds.map_batches(DecodeStats(), batch_format="pyarrow",
+                          batch_size=batch_size)

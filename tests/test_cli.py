@@ -1,0 +1,53 @@
+"""CLI (ray job submit entrypoint) smoke tests — each command end-to-end."""
+
+import json
+
+import pytest
+
+from ocel_ocpn_lakehouse_ray import cli
+
+
+def run_cli(capsys, *argv):
+    rc = cli.main(list(argv))
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_full_lifecycle(tmp_path, capsys):
+    root = str(tmp_path / "t")
+    created = run_cli(capsys, "create", "--root", root, "--rows", "200")
+    assert created["rows"] == 200 and created["fragments"] >= 4
+
+    health = run_cli(capsys, "health", "--root", root)
+    assert 0 <= health["health_score"] <= 100
+
+    plan = run_cli(capsys, "plan", "--root", root)
+    assert plan["schedule"] in ("daily", "weekly", "monthly")
+
+    compacted = run_cli(capsys, "compact", "--root", root, "--job-id", "cli-c")
+    assert compacted["rows"] == 200
+
+    clustered = run_cli(capsys, "cluster", "--root", root, "--order", "hilbert",
+                        "--job-id", "cli-z")
+    assert clustered["rows"] == 200
+
+    verify = run_cli(capsys, "verify", "--root", root, "--rows", "200")
+    assert verify["passed"] is True
+
+    merged = run_cli(capsys, "merge", "--root", root, "--job-id", "cli-m",
+                     "--source-rows", "200")
+    assert merged["inserts"] >= 1
+
+    fsck = run_cli(capsys, "fsck", "--root", root)
+    assert fsck["missing"] == []
+
+    hist = run_cli(capsys, "history", "--root", root)
+    ops = [v["operation"] for v in hist["versions"]]
+    assert ops[-1] == "merge" and "compact" in ops
+
+    expired = run_cli(capsys, "expire", "--root", root, "--keep-last", "1")
+    assert len(expired["expiry"]["expired"]) >= 2
+    # expiry keeps only the merge version
+    hist2 = run_cli(capsys, "history", "--root", root)
+    assert [v["operation"] for v in hist2["versions"]] == ["merge"]
