@@ -1,5 +1,6 @@
 """Job entrypoint for ``ray job submit`` (north_rule: maintenance suite is
-launched as Ray jobs against a fixed-size cluster).
+launched as Ray jobs against a fixed-size cluster).  See BASELINE.md for the
+two-parallelism-level scaling evidence produced through this entrypoint.
 
 Usage (local sandbox stand-in; on a real cluster drop ``--num-cpus`` and let
 ``ray job submit -- python -m ocel_ocpn_lakehouse_ray.cli ...`` attach to the
