@@ -66,6 +66,34 @@ def entry() -> Any:
     return t.to_dataset(columns=["image_id", "caption", "w", "h", "fmt", "phash"])
 
 
+def _q_image_near_dup(sf_dir: str):
+    """phash-hamming near-dup pairs on the synthetic image table (the hot-key
+    rows form exact-dup clusters) — rows-only check."""
+    from ocel_ocpn_lakehouse_ray.pipelines.image_dedup import image_near_dup_pairs
+    from ocel_ocpn_lakehouse_ray.pipelines.maintenance_queries import (
+        _scale_n,
+        _seed_table_root,
+    )
+    from ocel_ocpn_lakehouse_ray.table import LakeTable
+
+    t = LakeTable.load(_seed_table_root(_scale_n(sf_dir)))
+    return image_near_dup_pairs(t)
+
+
+def _q_image_knn(sf_dir: str):
+    """Composed decode→embed→cosine-top-k over the synthetic image table —
+    rows-only check (multimodal similarity pipeline)."""
+    from ocel_ocpn_lakehouse_ray.pipelines.image_dedup import image_knn
+    from ocel_ocpn_lakehouse_ray.pipelines.maintenance_queries import (
+        _scale_n,
+        _seed_table_root,
+    )
+    from ocel_ocpn_lakehouse_ray.table import LakeTable
+
+    t = LakeTable.load(_seed_table_root(_scale_n(sf_dir)))
+    return image_knn(t)[["query_id", "neighbor_id"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocel_ocpn_lakehouse_ray.pipelines import dedup, maintenance_queries, similarity
     from ocel_ocpn_lakehouse_ray.pipelines.queries import QUERIES
@@ -83,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.q_simhash,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "ngram_jaccard": dedup.q_ngram_jaccard,
+        "image_near_dup": _q_image_near_dup,
+        "image_knn": _q_image_knn,
         "maint_compaction": maintenance_queries.maint_compaction,
         "maint_cluster_zorder": maintenance_queries.maint_cluster_zorder,
         "maint_cluster_hilbert": maintenance_queries.maint_cluster_hilbert,

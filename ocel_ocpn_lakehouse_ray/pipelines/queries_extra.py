@@ -250,6 +250,50 @@ FROM part GROUP BY p_brand
 """
 
 
+def q_threshold_cut(sf_dir: str):
+    """O5 threshold-percentile cut (`agent/process_mining_queries.py:300-322`):
+    two-pass — exact p95 of o_totalprice, then filter rows above it."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    parts = [b["o_totalprice"].to_numpy() for b in
+             _read(sf_dir, "orders", columns=["o_totalprice"]).iter_batches(batch_format="pyarrow")]
+    p95 = float(np.quantile(np.concatenate(parts), 0.95, method="linear"))
+
+    def fn(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["o_totalprice"], pa.scalar(p95)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_THRESHOLD_CUT = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_totalprice > (
+  SELECT percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice) FROM orders)
+"""
+
+
+def q_hash_sample(sf_dir: str):
+    """O6 deterministic sampling: content-hash bucket sample (~6 %) — the
+    reproducible scan-equivalence spot-check pattern (SURVEY.md §2.6 O6).
+    md5-based so the SQL oracle computes the identical sample."""
+    import hashlib
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        keys = [int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16)
+                for k in b["c_custkey"].to_pylist()]
+        mask = pa.array([k < 16 for k in keys])
+        return b.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_HASH_SAMPLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2)) AS INTEGER) < 16
+"""
+
+
 EXTRA_QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -261,6 +305,8 @@ EXTRA_QUERIES = {
     "between": q_between,
     "supplier_nation": q_supplier_nation,
     "part_brand_stats": q_part_brand_stats,
+    "threshold_cut": q_threshold_cut,
+    "hash_sample": q_hash_sample,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -274,4 +320,6 @@ EXTRA_ORACLE_SQL = {
     "between": _SQL_BETWEEN,
     "supplier_nation": _SQL_SUPPLIER_NATION,
     "part_brand_stats": _SQL_PART_BRAND_STATS,
+    "threshold_cut": _SQL_THRESHOLD_CUT,
+    "hash_sample": _SQL_HASH_SAMPLE,
 }
