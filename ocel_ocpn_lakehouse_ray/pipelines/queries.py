@@ -85,6 +85,35 @@ def _rename(ds, mapping: dict):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+
+def bucketed_groups(ds, key_col: str, fn, *, buckets: int = 32):
+    """Per-key grouped transform without thousands of tiny map_groups calls:
+    hash keys into ``buckets`` coarse groups (one shuffle, same as groupby),
+    then run a VECTORIZED pandas groupby inside each bucket.  Orders of
+    magnitude fewer task/pandas invocations than groupby(key).map_groups when
+    the key cardinality is high (SURVEY.md §4 skew row: same co-location
+    guarantee — every row of a key lands in exactly one bucket)."""
+    import ray.data  # noqa: F401
+
+    def assign(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import splitmix64
+
+        col = b[key_col]
+        if pa.types.is_integer(col.type):
+            h = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            from ..functions.hashing import hash_strings
+
+            h = hash_strings(col.to_pylist())
+        return b.append_column("__bucket", pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: fn(g.drop(columns="__bucket")), batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------------ queries
 
 
@@ -288,12 +317,12 @@ def q_direct_follows(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        src = g["event_type"].iloc[:-1].to_numpy()
-        dst = g["event_type"].iloc[1:].to_numpy()
-        return pd.DataFrame({"src": src, "dst": dst})
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id")["event_type"].shift(1)
+        mask = prev.notna()
+        return pd.DataFrame({"src": prev[mask].to_numpy(), "dst": g["event_type"][mask].to_numpy()})
 
-    pair_ds = ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    pair_ds = bucketed_groups(ds, "user_id", pairs)
     return _rename(pair_ds.groupby(["src", "dst"]).count(), {"count()": "n"})
 
 
@@ -341,11 +370,11 @@ def q_sequence_numbers(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
     def number(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["seq"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g["seq"] = g.groupby("user_id").cumcount() + 1
         return g[["event_id", "user_id", "seq"]]
 
-    return ds.groupby("user_id").map_groups(number, batch_format="pandas")
+    return bucketed_groups(ds, "user_id", number)
 
 
 _SQL_SEQUENCE_NUMBERS = """
@@ -440,13 +469,17 @@ def q_cooccurrence(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        types = sorted(set(g["event_type"]))
-        rows = [(a, b) for i, a in enumerate(types) for b in types[i + 1:]]
-        if not rows:
-            return pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
-        return pd.DataFrame(rows, columns=["a", "b"])
+        out_a, out_b = [], []
+        for _, types in g.groupby("user_id")["event_type"].unique().items():
+            ts = sorted(types)
+            for i, a in enumerate(ts):
+                for b in ts[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype=object),
+                             "b": pd.Series(out_b, dtype=object)})
 
-    pair_ds = ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    pair_ds = bucketed_groups(ds, "user_id", pairs)
     return _rename(pair_ds.groupby(["a", "b"]).count(), {"count()": "n"})
 
 
