@@ -294,6 +294,43 @@ WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2)) AS INTEGER) <
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join — a custom operator Ray Data lacks (build-brief example):
+    for every 'purchase' event, the most recent 'click' timestamp by the same
+    user at or before it.  One shuffle: users are hash-bucketed
+    (bucketed_groups), within a bucket a vectorized grouped forward-fill
+    computes the as-of match for all users at once."""
+    import pandas as pd
+
+    from .queries import bucketed_groups
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        # clicks sort before other events at an identical timestamp so the
+        # inclusive (<=) as-of semantics match the SQL oracle
+        g = g.assign(__nc=(g["event_type"] != "click").astype(np.int8))
+        g = g.sort_values(["user_id", "ts", "__nc", "event_id"])
+        click_ts = g["ts"].where(g["event_type"] == "click")
+        last_click = click_ts.groupby(g["user_id"]).ffill()
+        out = g[g["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "event_id": out["event_id"].to_numpy(),
+            "last_click_ts": last_click[g["event_type"] == "purchase"].to_numpy(),
+        })
+
+    return bucketed_groups(ds, "user_id", asof)
+
+
+_SQL_ASOF_JOIN = """
+SELECT p.event_id,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+       ) AS last_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
 EXTRA_QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -307,6 +344,7 @@ EXTRA_QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "threshold_cut": q_threshold_cut,
     "hash_sample": q_hash_sample,
+    "asof_join": q_asof_join,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -322,4 +360,5 @@ EXTRA_ORACLE_SQL = {
     "part_brand_stats": _SQL_PART_BRAND_STATS,
     "threshold_cut": _SQL_THRESHOLD_CUT,
     "hash_sample": _SQL_HASH_SAMPLE,
+    "asof_join": _SQL_ASOF_JOIN,
 }
