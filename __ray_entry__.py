@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_cluster_hilbert": maintenance_queries.maint_cluster_hilbert,
         "maint_merge": maintenance_queries.maint_merge,
         "maint_expire_gc": maintenance_queries.maint_expire_gc,
+        "maint_evolve_schema": maintenance_queries.maint_evolve_schema,
+        "mv_refresh_dfg": maintenance_queries.mv_refresh_dfg,
     })
     return out
 
@@ -135,5 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "petri_arcs": SQL_PETRI_ARCS,
         "knn_bruteforce": similarity.SQL_KNN_BRUTEFORCE,
         "embedding_dedup": similarity.SQL_EMBEDDING_DEDUP,
+        # the refreshed MV's content equals the direct-follows aggregate —
+        # refresh-by-overwrite is SQL-checkable end to end
+        "mv_refresh_dfg": ORACLE_SQL["direct_follows"],
     })
     return out

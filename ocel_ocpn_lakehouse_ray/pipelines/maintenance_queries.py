@@ -102,6 +102,45 @@ def maint_merge(sf_dir: str) -> pd.DataFrame:
     return _scan(t2)
 
 
+def maint_evolve_schema(sf_dir: str) -> pd.DataFrame:
+    """Additive schema evolution through the driver contract: evolve, append
+    rows carrying the new column, scan back the mixed table (old fragments
+    null-filled)."""
+    import pyarrow as pa
+
+    from ..sources.generator import gen_batch
+    from ..stages.evolution import evolve_schema
+
+    n = _scale_n(sf_dir)
+    root = _working_copy(n, "evolve")
+    t = LakeTable.load(root)
+    t = evolve_schema(t, [pa.field("quality_score", pa.float64())])
+    extra = gen_batch(np.arange(n, n + max(10, n // 100)))
+    extra = extra.append_column(
+        "quality_score", pa.array(np.linspace(0, 1, extra.num_rows))
+    )
+    t = t.append_arrow(extra, name_parts=("evolve", "x"))
+    df = t.to_dataset(columns=["image_id", "quality_score"]).to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+def mv_refresh_dfg(sf_dir: str) -> pd.DataFrame:
+    """Materialized-view layer through the driver contract: refresh the
+    direct-follows MV twice (overwrite semantics) and read it back."""
+    import uuid as _uuid
+
+    from .mv import MaterializedView
+    from .queries import q_direct_follows
+
+    wh = os.path.join(WORK_ROOT, f"wh_{_uuid.uuid4().hex[:8]}")
+    mv = MaterializedView(wh, "dfg", lambda: q_direct_follows(sf_dir))
+    mv.refresh()
+    mv.refresh()  # second refresh must fully overwrite, not append
+    df = mv.read().to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    shutil.rmtree(wh, ignore_errors=True)
+    return df
+
+
 def maint_expire_gc(sf_dir: str) -> pd.DataFrame:
     root = _working_copy(_scale_n(sf_dir), "gc")
     t = LakeTable.load(root)
