@@ -10,11 +10,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline seconds>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
 
-Scaling mode (`bench.py --scaling`): runs the SAME maintenance job twice in
-fresh processes at num_cpus=8 and num_cpus=32 on identical input and reports
-both throughputs + scaling efficiency = T8_wall / (4 * T32_wall_equiv), i.e.
-throughput32 / (4 * throughput8) — the sandbox stand-in for the N vs 4N-node
-cluster criterion (see BASELINE.md).
+Scaling mode (`bench.py --scaling`): runs the SAME maintenance lifecycle (as
+four consecutive fresh `ray job submit`-shaped processes) at two parallelism
+levels — default N=4 vs 4N=16 CPUs (flags --scaling-low/--scaling-high; the
+N-vs-4N criterion) — on identical input, reporting both throughputs and
+scaling efficiency = speedup / (high/low).  The sandbox stand-in for the
+N-node vs 4N-node cluster criterion (analysis in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -183,7 +184,7 @@ def _lifecycle_seconds(root: str, cpus: int, n: int) -> tuple[float, int]:
     return secs, rows
 
 
-def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+def run_scaling(sf_dir: str, low: int = 4, high: int = 16) -> dict:
     """Identical input, two parallelism levels, fresh Ray process per job.
 
     Uses a larger table (SCALING_ROWS) than the default bench tier: the
@@ -237,6 +238,8 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-low", type=int, default=int(os.environ.get("GRAFT_SCALING_LOW", "4")))
+    ap.add_argument("--scaling-high", type=int, default=int(os.environ.get("GRAFT_SCALING_HIGH", "16")))
     ap.add_argument("--single", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -244,7 +247,8 @@ def main():
     ap.add_argument("--rows", type=int, default=None)
     args = ap.parse_args()
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir)))
+        print(json.dumps(run_scaling(args.sf_dir, low=args.scaling_low,
+                                     high=args.scaling_high)))
     else:
         print(json.dumps(run_bench(args.cpus, args.sf_dir,
                                    maintenance_only=args.maintenance_only,
