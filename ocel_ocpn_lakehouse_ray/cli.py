@@ -57,7 +57,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="ocel_ocpn_lakehouse_ray.cli")
     ap.add_argument("command", choices=["create", "compact", "cluster", "merge",
                                         "expire", "gc", "fsck", "plan", "verify",
-                                        "decode-verify", "health", "history"])
+                                        "decode-verify", "health", "history",
+                                        "cleanup-journal"])
     ap.add_argument("--root", required=True)
     ap.add_argument("--rows", type=int, default=20000)
     ap.add_argument("--seed", type=int, default=42)
@@ -110,6 +111,13 @@ def main(argv=None):
         from .stages.gc import fsck
 
         out = fsck(args.root)
+    elif args.command == "cleanup-journal":
+        from .stages.gc import cleanup_journal
+
+        out = cleanup_journal(
+            args.root,
+            max_age_days=7.0 if args.max_age_days is None else args.max_age_days,
+        )
     elif args.command == "plan":
         from .stages.plan import generate_maintenance_plan
 

@@ -103,6 +103,32 @@ def garbage_collect(root: str, *, delete_orphans: bool = True,
             "live_fragments": len(live)}
 
 
+def cleanup_journal(root: str, *, max_age_days: float = 7.0,
+                    now: float | None = None) -> dict:
+    """Remove lineage-journal directories of finished jobs older than the
+    retention window.  A job's journal is only a resume aid; once its manifest
+    commit is durable the records are dead weight (staged source files under
+    journal/<job>/source included)."""
+    import shutil
+
+    now = now or time.time()
+    jroot = os.path.join(root, mf.JOURNAL_DIR)
+    removed, kept = [], []
+    if not os.path.isdir(jroot):
+        return {"removed": [], "kept": []}
+    for name in sorted(os.listdir(jroot)):
+        path = os.path.join(jroot, name)
+        if not os.path.isdir(path):
+            continue
+        age_days = (now - os.path.getmtime(path)) / 86400.0
+        if age_days > max_age_days:
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(name)
+        else:
+            kept.append(name)
+    return {"removed": removed, "kept": kept}
+
+
 def expire_and_gc(root: str, *, keep_last: int, max_age_days: float | None = None,
                   orphan_grace_seconds: float = 3600.0, now: float | None = None) -> dict:
     exp = expire_snapshots(root, keep_last=keep_last, max_age_days=max_age_days, now=now)

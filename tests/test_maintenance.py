@@ -364,3 +364,23 @@ def test_scan_equivalence_detects_corruption():
         num_parts=1,
     )
     assert not se4["passed"] and se4["missing"] == 1
+
+
+def test_cleanup_journal(tmp_path):
+    import time as _time
+
+    from ocel_ocpn_lakehouse_ray.stages.gc import cleanup_journal
+
+    root = str(tmp_path / "t")
+    t = create_image_table(root, 60, num_fragments=4, seed=SEED)
+    t, _ = run_compaction(t, job_id="cj-1")
+    jdir = os.path.join(root, "journal", "cj-1")
+    assert os.path.isdir(jdir)
+    # within retention: kept
+    rep = cleanup_journal(root, max_age_days=1.0)
+    assert "cj-1" in rep["kept"] and os.path.isdir(jdir)
+    # past retention (simulated by future 'now'): removed
+    rep = cleanup_journal(root, max_age_days=1.0, now=_time.time() + 10 * 86400)
+    assert "cj-1" in rep["removed"] and not os.path.isdir(jdir)
+    # table still fully readable — journal is only a resume aid
+    assert t.to_dataset().count() == 60
