@@ -88,12 +88,12 @@ def decode_png(data: bytes) -> np.ndarray:
             rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(-1) % 256
         elif f == 2:  # Up
             rec = cur + prev
-        elif f == 3:  # Average (sequential in x)
+        elif f == 3:  # Average (sequential in x; spec requires mod-256 per byte)
             rec = np.zeros(w * 3, np.int32)
             for x in range(w * 3):
                 left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = cur[x] + (left + prev[x]) // 2
-        elif f == 4:  # Paeth (sequential in x)
+                rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth (sequential in x; neighbors must be reduced bytes)
             rec = np.zeros(w * 3, np.int32)
             for x in range(w * 3):
                 a = rec[x - bpp] if x >= bpp else 0
@@ -102,7 +102,7 @@ def decode_png(data: bytes) -> np.ndarray:
                 p = a + b - c
                 pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else c)
-                rec[x] = cur[x] + pred
+                rec[x] = (cur[x] + pred) % 256
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = np.asarray(rec, dtype=np.int64) % 256

@@ -21,6 +21,19 @@ from ..state import manifest as mf
 from ..table import LakeTable, schema_to_meta
 
 
+def _dataset_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset (handles Ray's Schema wrapper)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    if isinstance(s, pa.Schema):
+        return s
+    return pa.schema(
+        [pa.field(n, t) for n, t in zip(s.names, s.types)]
+    )
+
+
 class MaterializedView:
     def __init__(self, warehouse_root: str, name: str, builder):
         """builder: callable () -> ray.data.Dataset (or pyarrow Table)."""
@@ -38,15 +51,14 @@ class MaterializedView:
         result = self.builder()
         if isinstance(result, pa.Table):
             result = ray.data.from_arrow(result)
-        first = None
-        batches = []
-        for b in result.iter_batches(batch_format="pyarrow"):
-            if b.num_rows:
-                batches.append(b)
-                first = first or b
+        batches = [
+            b for b in result.iter_batches(batch_format="pyarrow") if b.num_rows
+        ]
         data = (
             pa.concat_tables(batches).combine_chunks()
-            if batches else (first or pa.table({}))
+            # empty first refresh must still carry the builder's REAL schema,
+            # not a zero-column table (result.schema() knows it even with 0 rows)
+            if batches else _dataset_schema(result).empty_table()
         )
         # NOTE: MV results are aggregates (small); a fact-sized view would
         # stream through append_dataset instead of a driver concat.
@@ -65,7 +77,7 @@ class MaterializedView:
             operation="mv-refresh",
             add=metas,
             remove_ids=t.manifest.fragment_ids(),   # full overwrite (S5)
-            schema=schema_to_meta(data.schema) if data.num_rows else t.manifest.schema,
+            schema=schema_to_meta(data.schema) if data.num_columns else t.manifest.schema,
             config=t.manifest.config,
             summary={"view": self.name, "rows": data.num_rows,
                      "refresh_seconds": round(time.time() - t0, 3)},

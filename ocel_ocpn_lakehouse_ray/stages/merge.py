@@ -142,6 +142,11 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
     src_dir = os.path.join(lineage.journal_dir(table.root, job_id), "source")
     marker = os.path.join(src_dir, "_SUCCESS")
     if not os.path.exists(marker):  # resume reuses the staged source
+        # a crash mid-write leaves partial parquet without the marker; clear
+        # them so the re-run's glob can't pick up two copies of any row.
+        for stale in glob.glob(os.path.join(src_dir, "*.parquet")):
+            os.remove(stale)
+
         def tag_src(batch: pa.Table) -> pa.Table:
             return batch.append_column(
                 SIDE_COL, pa.array(np.full(batch.num_rows, 1, np.int8))

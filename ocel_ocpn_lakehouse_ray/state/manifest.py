@@ -200,5 +200,31 @@ def commit_version(
             publish_manifest(root, new)
             return new
         except FileExistsError:
-            continue  # lost the race; rebase and retry
+            # Either we lost a live race (the winner will advance _latest), or
+            # a previous writer crashed AFTER creating v{n}.json but BEFORE
+            # swapping _latest — that orphan would wedge every future commit at
+            # the same version number.  The orphan manifest was durably
+            # published, so repair by rolling _latest forward to it; the next
+            # loop iteration rebases past it.
+            _repair_orphan_latest(root)
+            continue
     raise CommitConflict(f"could not commit after {max_retries} attempts")
+
+
+def _repair_orphan_latest(root: str) -> None:
+    """If manifest files exist beyond _latest (a committer crashed between the
+    exclusive manifest create and the pointer swap), finish the crashed
+    publish by advancing _latest to the highest existing manifest version."""
+    versions = list_manifest_versions(root)
+    if not versions:
+        return
+    latest = read_latest_version(root)
+    top = versions[-1]
+    if top <= latest:
+        return  # normal race: the winner's swap is done or imminent
+    tmp = os.path.join(root, f".{LATEST_FILE}.repair.{os.getpid()}.{top}")
+    with open(tmp, "w") as f:
+        f.write(str(top))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, LATEST_FILE))

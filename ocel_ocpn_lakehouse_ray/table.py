@@ -118,7 +118,11 @@ class LakeTable:
         return self.manifest.fragments
 
     def fragment_paths(self, fragments=None) -> list[str]:
-        return [os.path.join(self.root, f.path) for f in (fragments or self.fragments)]
+        # An explicit empty list must mean ZERO paths (e.g. a pure-insert MERGE
+        # where min/max pruning excluded every fragment) — `fragments or ...`
+        # would silently fall back to ALL fragments and duplicate the table.
+        frags = self.fragments if fragments is None else fragments
+        return [os.path.join(self.root, f.path) for f in frags]
 
     # ------------------------------------------------------------ scan
     def live_fragments(self, predicates: list[tuple] | None = None) -> list:
