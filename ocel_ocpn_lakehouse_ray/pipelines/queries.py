@@ -127,30 +127,55 @@ def q_pricing_summary(sf_dir: str):
                columns=["l_returnflag", "l_linestatus", "l_quantity",
                         "l_extendedprice", "l_discount", "l_shipdate"])
 
+    # Float sums drift in the last ulps with accumulation order, and float
+    # ROUND itself differs between engines (pc.round vs DuckDB produce
+    # different nearest-doubles).  Money columns are exact decimal(…,2), so
+    # sum in INTEGER cents (deterministic in any order) and divide once at the
+    # end — bit-identical on both sides of the driver's value hash.
     def prep(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        i64 = pa.int64()
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("disc_price", disc)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty_i": pc.cast(pc.round(b["l_quantity"]), i64),
+            "base_c": pc.cast(pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))), i64),
+            "disc_c4": pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), i64),
+        })
 
-    return (
+    agg = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
+            Sum("qty_i", alias_name="sum_qty_i"),
+            Sum("base_c", alias_name="base_c"),
+            Sum("disc_c4", alias_name="disc_c4"),
             Count(alias_name="count_order"),
         )
     )
 
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": pc.cast(b["sum_qty_i"], pa.float64()),
+            "sum_base_price": pc.divide(pc.cast(b["base_c"], pa.float64()), pa.scalar(100.0)),
+            "sum_disc_price": pc.divide(pc.cast(b["disc_c4"], pa.float64()), pa.scalar(10000.0)),
+            "avg_qty": pc.divide(pc.cast(b["sum_qty_i"], pa.float64()),
+                                 pc.cast(b["count_order"], pa.float64())),
+            "count_order": b["count_order"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
 
 _SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       avg(l_quantity) AS avg_qty,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -204,13 +229,33 @@ def q_orders_by_segment(sf_dir: str):
     cust = _small_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = broadcast_join(ds, cust, keys=["o_custkey"], right_keys=["c_custkey"])
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="order_count"), Sum("o_totalprice", alias_name="total_price")
-    )
+
+    # sum money in integer cents (see q_pricing_summary): order-independent,
+    # bit-identical to the SQL oracle after one final division
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "price_c": pc.cast(pc.round(pc.multiply(b["o_totalprice"], pa.scalar(100.0))),
+                               pa.int64()),
+        })
+
+    agg = joined.map_batches(cents, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(Count(alias_name="order_count"), Sum("price_c", alias_name="price_c"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "order_count": b["order_count"],
+            "total_price": pc.divide(pc.cast(b["price_c"], pa.float64()), pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 _SQL_ORDERS_BY_SEGMENT = """
-SELECT c_mktsegment, count(*) AS order_count, sum(o_totalprice) AS total_price
+SELECT c_mktsegment, count(*) AS order_count,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -455,10 +500,10 @@ def q_null_quality(sf_dir: str):
 
 _SQL_NULL_QUALITY = """
 SELECT count(*) AS total,
-       sum(CASE WHEN o_orderkey  IS NULL THEN 1 ELSE 0 END) AS null_o_orderkey,
-       sum(CASE WHEN o_custkey   IS NULL THEN 1 ELSE 0 END) AS null_o_custkey,
-       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_o_totalprice,
-       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_o_orderdate
+       CAST(sum(CASE WHEN o_orderkey  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderkey,
+       CAST(sum(CASE WHEN o_custkey   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_custkey,
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_totalprice,
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderdate
 FROM orders
 """
 
@@ -624,19 +669,38 @@ def q_merge_documents(sf_dir: str):
         })
         return pa.concat_tables([upd, ins])
 
-    src = _read(sf_dir, "documents").map_batches(source_batch, batch_format="pyarrow")
+    # STAGED-READ pattern (same as stages/merge.py:140-150): persist the tagged
+    # source once, then read BOTH sides in ONE read_parquet — the target file
+    # lacks __side and is null-filled by the read schema.  Dataset.union (the
+    # round-1 construction) serializes execution and crashed the driver's
+    # comparison; one read also avoids re-running the source pipeline.
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+
     from ..stages.shuffle import PART_COL, assign_hash_part
 
     P = 4
+    src_dir = tempfile.mkdtemp(prefix="merge-docs-src-")
 
-    def tag(side):
-        def fn(b: pa.Table) -> pa.Table:
-            b = b.append_column("__side", pa.array(np.full(b.num_rows, side, np.int8)))
-            return assign_hash_part(b, "doc_id", P)
-        return fn
+    def tag_src(b: pa.Table) -> pa.Table:
+        b = source_batch(b)
+        return b.append_column("__side", pa.array(np.ones(b.num_rows, np.int8)))
 
-    both = ds.map_batches(tag(0), batch_format="pyarrow").union(
-        src.map_batches(tag(1), batch_format="pyarrow"))
+    ds.map_batches(tag_src, batch_format="pyarrow").write_parquet(src_dir)
+    src_files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+    read_schema = pq.read_schema(_pq(sf_dir, "documents")).append(
+        pa.field("__side", pa.int8()))
+    both = ray.data.read_parquet([_pq(sf_dir, "documents")] + src_files,
+                                 schema=read_schema)
+
+    def assign(b: pa.Table) -> pa.Table:
+        side = pc.cast(pc.fill_null(b["__side"], 0), pa.int8())
+        b = b.set_column(b.schema.get_field_index("__side"), "__side", side)
+        return assign_hash_part(b, "doc_id", P)
 
     def upsert(g: pa.Table) -> pa.Table:
         side = g["__side"].to_numpy()
@@ -644,7 +708,14 @@ def q_merge_documents(sf_dir: str):
         keep = pc.invert(pc.is_in(tgt["doc_id"], value_set=s["doc_id"]))
         return pa.concat_tables([tgt.filter(keep), s]).drop_columns(["__side", PART_COL])
 
-    return both.groupby(PART_COL).map_groups(upsert, batch_format="pyarrow")
+    result = (both.map_batches(assign, batch_format="pyarrow")
+              .groupby(PART_COL).map_groups(upsert, batch_format="pyarrow"))
+    # consume before removing the staged dir (result is small: the doc table)
+    out = pa.concat_tables(
+        result.iter_batches(batch_format="pyarrow")
+    ).combine_chunks()
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
 
 
 _SQL_MERGE_DOCUMENTS = """

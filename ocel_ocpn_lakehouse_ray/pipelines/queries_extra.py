@@ -110,8 +110,8 @@ def q_case_when(sf_dir: str):
 
 _SQL_CASE_WHEN = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_high,
-       sum(CASE WHEN o_totalprice <= 50000 THEN 1 ELSE 0 END) AS n_low,
+       CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(sum(CASE WHEN o_totalprice <= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
        count(*) AS n
 FROM orders GROUP BY o_orderpriority
 """
