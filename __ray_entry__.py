@@ -106,7 +106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({
         "petri_arcs": q_petri_arcs,
         "knn_bruteforce": similarity.q_knn_bruteforce,
+        # scale path (LSH-bucketed, rows-only) is the primary entry; the
+        # broadcast-corpus exact variant stays as the oracle-paired pin
         "embedding_dedup": similarity.q_embedding_dedup,
+        "embedding_dedup_exact": similarity.q_embedding_dedup_exact,
         "ann_lsh": similarity.q_ann_lsh,
         "simhash": dedup.q_simhash,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
@@ -136,7 +139,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({
         "petri_arcs": SQL_PETRI_ARCS,
         "knn_bruteforce": similarity.SQL_KNN_BRUTEFORCE,
-        "embedding_dedup": similarity.SQL_EMBEDDING_DEDUP,
+        "embedding_dedup_exact": similarity.SQL_EMBEDDING_DEDUP,
         # the refreshed MV's content equals the direct-follows aggregate —
         # refresh-by-overwrite is SQL-checkable end to end
         "mv_refresh_dfg": ORACLE_SQL["direct_follows"],

@@ -30,7 +30,7 @@ from ..functions.text import (
     simhash64,
     word_shingles,
 )
-from .queries import _read, _small_arrow
+from .queries import _read
 
 NUM_PERM = 64
 BANDS = 16
@@ -82,37 +82,52 @@ def q_minhash_lsh_pairs(sf_dir: str):
 
 def q_ngram_jaccard(sf_dir: str):
     """Exact word-3-gram Jaccard over LSH candidate pairs, thresholded —
-    the verify stage of the near-dedup pipeline."""
-    import ray
+    the verify stage of the near-dedup pipeline, CO-PARTITIONED: each band
+    row carries the doc's shingle-hash set, so verification happens inside
+    the band bucket with everything it needs.  No candidate-pair collection
+    on the driver and no all-texts broadcast (the round-1 shape) — the only
+    data movement is the one (doc_id, shingles, band) shuffle, and shingle
+    sets are ~1 uint64 per word (smaller than the text itself)."""
+    from ray.data.aggregate import Max
 
-    pairs = q_minhash_lsh_pairs(sf_dir).to_pandas()
-    docs = _small_arrow(sf_dir, "documents", columns=["doc_id", "text"])
-    ref = ray.put(dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())))
-    import ray.data
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    if len(pairs) == 0:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                             "b": pd.Series(dtype=np.int64),
-                             "jaccard": pd.Series(dtype=np.float64)})
-    pair_ds = ray.data.from_pandas(pairs)
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids, keys, sets = [], [], []
+        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            sh = word_shingles(text)
+            sig = minhash_signature(sh, NUM_PERM)
+            sh_i64 = sh.view(np.int64)
+            for k in lsh_band_keys(sig, BANDS):
+                ids.append(did)
+                keys.append(k)
+                sets.append(sh_i64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band": keys,
+            "shingles": pa.array([s.tolist() for s in sets], pa.list_(pa.int64())),
+        })
 
-    class Verify:
-        def __init__(self, docs_ref):
-            self.docs = ray.get(docs_ref)
-            self.cache: dict = {}
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sets = [np.asarray(s, np.int64).view(np.uint64) for s in g["shingles"]]
+        rows_a, rows_b, rows_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jac = round(jaccard(sets[i], sets[j]), 6)
+                if jac >= JACCARD_THRESHOLD:
+                    rows_a.append(ids[i])
+                    rows_b.append(ids[j])
+                    rows_j.append(jac)
+        return pd.DataFrame({"a": pd.Series(rows_a, dtype=np.int64),
+                             "b": pd.Series(rows_b, dtype=np.int64),
+                             "jaccard": pd.Series(rows_j, dtype=np.float64)})
 
-        def shingles(self, did):
-            if did not in self.cache:
-                self.cache[did] = word_shingles(self.docs[did])
-            return self.cache[did]
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            a_ids = b["a"].to_pylist()
-            b_ids = b["b"].to_pylist()
-            js = [jaccard(self.shingles(x), self.shingles(y)) for x, y in zip(a_ids, b_ids)]
-            t = pa.table({"a": b["a"], "b": b["b"],
-                          "jaccard": pa.array(np.round(js, 6), pa.float64())})
-            return t.filter(pa.compute.greater_equal(t["jaccard"], pa.scalar(JACCARD_THRESHOLD)))
-
-    return pair_ds.map_batches(Verify, fn_constructor_args=(ref,),
-                               batch_format="pyarrow", concurrency=(1, 4))
+    pairs = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(bucket_verify, batch_format="pandas")
+    )
+    # a pair can share several bands; jaccard is identical each time → Max
+    return pairs.groupby(["a", "b"]).aggregate(Max("jaccard", alias_name="jaccard"))

@@ -6,8 +6,10 @@ in-group pairwise check"): split the 64-bit phash into B contiguous bands;
 two images within hamming distance d share at least one identical band
 whenever d < B (pigeonhole), so banding finds all near-dup candidates with
 ONE groupby shuffle of (band_key, image_id, phash) rows — payload bytes never
-move.  Candidates are verified exactly (vectorized popcount) inside the
-bucket.
+move.  Output is CLUSTER rows (representative, member, hamming), not all
+pairs: identical phashes collapse before the pairwise check and a union-find
+over the distinct-phash edge set assigns every row to its cluster, so a hot
+phash value costs O(n) rows instead of the O(n²) pair blowup.
 """
 
 from __future__ import annotations
@@ -26,8 +28,9 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def phash_near_dup_pairs(ds, *, bands: int = BANDS, threshold: int = HAMMING_THRESHOLD):
-    """ds: Dataset with (image_id, phash) → Dataset of candidate near-dup
-    pairs (a < b, distinct) with exact hamming distance <= threshold."""
+    """ds: Dataset with (image_id, phash) → Dataset of near-dup CLUSTER rows
+    (representative, member, hamming) — members within hamming <= threshold
+    of some cluster row, transitively closed via union-find."""
     shift_bits = 64 // bands
 
     def band_rows(b: pa.Table) -> pa.Table:
@@ -45,30 +48,87 @@ def phash_near_dup_pairs(ds, *, bands: int = BANDS, threshold: int = HAMMING_THR
             "phash": pa.array(out_ph, pa.int64()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("image_id").sort_values("image_id")
-        n = len(g)
+    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+        """Emit DISTINCT-PHASH edges only: rows with an identical phash are
+        trivially one cluster (hamming 0) and are collapsed BEFORE the
+        pairwise check, so a hot phash value (thousands of identical rows in
+        one bucket) costs one row, not O(n²) pairs — the round-1 quadratic
+        blowup.  Edge count is quadratic only in distinct phashes per bucket."""
+        ph = np.unique(g["phash"].to_numpy().view(np.uint64))
+        n = len(ph)
         if n < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=object),
-                                 "b": pd.Series(dtype=object),
-                                 "hamming": pd.Series(dtype=np.int64)})
-        ids = g["image_id"].to_numpy()
-        ph = g["phash"].to_numpy().view(np.uint64)
+            return pd.DataFrame({"pa": pd.Series(dtype=np.int64),
+                                 "pb": pd.Series(dtype=np.int64)})
         ai, bi = np.triu_indices(n, k=1)
         d = _popcount64(ph[ai] ^ ph[bi])
         keep = d <= threshold
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
-                             "hamming": d[keep].astype(np.int64)})
+        return pd.DataFrame({"pa": ph[ai][keep].view(np.int64),
+                             "pb": ph[bi][keep].view(np.int64)})
 
-    pairs = (
+    edge_ds = (
         ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("band")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_edges, batch_format="pandas")
     )
-    # a pair can match in several bands → distinct
-    from ray.data.aggregate import Min
+    # Union-find over the (tiny) distinct-phash edge set on the driver: edges
+    # are pairs of DISTINCT phash values within the hamming threshold — far
+    # smaller than the row count and independent of hot-key multiplicity.
+    parent: dict = {}
 
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in edge_ds.iter_batches(batch_format="pyarrow"):
+        for x, y in zip(b["pa"].to_pylist(), b["pb"].to_pylist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+    root_map = {x: find(x) for x in list(parent)}
+
+    import ray
+
+    root_ref = ray.put(root_map)
+
+    def assign_root(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        roots = _r.get(root_ref)
+        ph = b["phash"].to_pylist()
+        return pa.table({
+            "image_id": b["image_id"],
+            "phash": b["phash"],
+            "root": pa.array([roots.get(p, p) for p in ph], pa.int64()),
+        })
+
+    def cluster_rows(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket = one cluster (all rows sharing a root phash): emit
+        (representative, member, hamming-to-representative) rows, rep = min
+        image_id.  Clusters of one row produce no output (not a near-dup)."""
+        g = g.sort_values("image_id")
+        if len(g) < 2:
+            return pd.DataFrame({"representative": pd.Series(dtype=object),
+                                 "member": pd.Series(dtype=object),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        rep_id = g["image_id"].iloc[0]
+        rep_ph = np.uint64(np.int64(g["phash"].iloc[0]))
+        members = g.iloc[1:]
+        d = _popcount64(members["phash"].to_numpy().view(np.uint64) ^ rep_ph)
+        return pd.DataFrame({
+            "representative": np.repeat(rep_id, len(members)),
+            "member": members["image_id"].to_numpy(),
+            "hamming": d.astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(assign_root, batch_format="pyarrow")
+        .groupby("root")
+        .map_groups(cluster_rows, batch_format="pandas")
+    )
 
 
 def image_near_dup_pairs(table, **kw):
@@ -85,24 +145,39 @@ def image_knn(table, *, k: int = 5, n_queries: int = 8, thumb_batch: int = 64):
 
     from ..stages.multimodal import EmbedImages
 
+    # Query side: decode+embed ONLY the n query images — fragment min/max
+    # stats prune the read to the fragments containing the lowest image_ids,
+    # so the query matrix never requires a pass over the corpus.
+    q_ids = [f"img_{i:012d}" for i in range(n_queries)]
+    q_set = pa.array(q_ids)
+    q_src = table.to_dataset(
+        columns=["image_id", "bytes", "fmt"],
+        predicates=[("image_id", None, q_ids[-1])],
+    ).map_batches(
+        lambda b: b.filter(pa.compute.is_in(b["image_id"], value_set=q_set)),
+        batch_format="pyarrow",
+    )
+    q_tbl = pa.concat_tables(
+        q_src.map_batches(
+            EmbedImages, batch_format="pyarrow", batch_size=thumb_batch,
+            concurrency=1,  # query set is tiny; one actor
+        ).iter_batches(batch_format="pyarrow")
+    ).combine_chunks()
+    order = pa.compute.sort_indices(q_tbl["image_id"])
+    q_tbl = q_tbl.take(order)
+    q_ids = q_tbl["image_id"].to_pylist()
+    dim = len(q_tbl["embedding"][0])
+    q_mat = np.asarray(q_tbl["embedding"].combine_chunks().values,
+                       dtype=np.float64).reshape(len(q_ids), dim)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((q_ids, q_mat))
+
+    # Corpus side: ONE streamed decode→embed→block-local-top-k pass; corpus
+    # embeddings are never materialized (round 1 held the full stream).
     emb = table.to_dataset(columns=["image_id", "bytes", "fmt"]).map_batches(
         EmbedImages, batch_format="pyarrow", batch_size=thumb_batch,
         concurrency=(1, 4),
-    ).materialize()  # corpus embeddings: 64 floats/row — tiny vs images
-
-    # deterministic query set: the n lowest image_ids (take() order is not
-    # stable under the streaming executor)
-    q_ids = [f"img_{i:012d}" for i in range(n_queries)]
-    q_set = pa.array(q_ids)
-    q_rows = emb.map_batches(
-        lambda b: b.filter(pa.compute.is_in(b["image_id"], value_set=q_set)),
-        batch_format="pyarrow",
-    ).take_all()
-    q_rows = sorted(q_rows, key=lambda r: r["image_id"])
-    q_ids = [r["image_id"] for r in q_rows]
-    q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
-    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((q_ids, q_mat))
+    )
 
     def score(b: pa.Table) -> pa.Table:
         ids = b["image_id"].to_pylist()

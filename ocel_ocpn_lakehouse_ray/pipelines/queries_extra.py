@@ -14,15 +14,37 @@ import pyarrow.compute as pc
 from .queries import _read, _small_arrow, broadcast_join
 
 
+def _distinct_keys(ds, col: str, pa_type, *, max_driver_keys: int = 5_000_000) -> pa.Array:
+    """Distributed distinct of a (fact-table) key column: per-block
+    ``pc.unique`` partials run on the workers, the driver unions only the
+    (distinct-cardinality-sized) partials — never the raw fact rows.  The
+    guard bounds driver memory; past it the caller must switch to a
+    co-partitioned join (stages/merge.py machinery) instead of a broadcast."""
+    partials = ds.map_batches(
+        lambda b: pa.table({col: pc.unique(b[col])}), batch_format="pyarrow"
+    )
+    vals: set = set()
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        vals.update(b[col].to_pylist())
+        if len(vals) > max_driver_keys:
+            raise ValueError(
+                f"distinct {col} cardinality exceeds max_driver_keys="
+                f"{max_driver_keys}; use a co-partitioned semi-join"
+            )
+    return pa.array(sorted(vals), pa_type)
+
+
 def q_semi_join(sf_dir: str):
     """Semi-join (J3 flavor): customers having at least one order — the
     filter-then-join lookup (`agent/process_mining_queries.py:356-363`).
-    Implemented as an is_in membership filter against the broadcast key set
-    (no row multiplication, unlike an inner join)."""
+    The fact side's distinct keys are computed DISTRIBUTED (per-block unique
+    partials), then the small distinct set is broadcast for an is_in filter —
+    the driver never reads fact rows (no row multiplication either)."""
     import ray
 
-    keys = _small_arrow(sf_dir, "orders", columns=["o_custkey"])["o_custkey"]
-    key_set = pa.array(sorted(set(keys.to_pylist())), pa.int64())
+    key_set = _distinct_keys(
+        _read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey", pa.int64()
+    )
     ref = ray.put(key_set)
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
@@ -43,12 +65,17 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 def q_anti_join(sf_dir: str):
     """Anti-join: customers with no URGENT-priority order (the MERGE
     not-matched path standalone; predicate chosen to be non-empty at every
-    scale factor)."""
+    scale factor).  Same distributed-distinct-then-broadcast shape as
+    q_semi_join — the filter runs on the workers before the unique partial."""
     import ray
 
-    ords = _small_arrow(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
-    urgent = ords.filter(pc.equal(ords["o_orderpriority"], pa.scalar("1-URGENT")))
-    key_set = pa.array(sorted(set(urgent["o_custkey"].to_pylist())), pa.int64())
+    ords = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    urgent = ords.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], pa.scalar("1-URGENT")))
+        .select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    key_set = _distinct_keys(urgent, "o_custkey", pa.int64())
     ref = ray.put(key_set)
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
 

@@ -127,8 +127,12 @@ class _DedupScorer:
         })
 
 
-def q_embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-dup candidate pairs (canonical a < b)."""
+def q_embedding_dedup_exact(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (canonical a < b) — the
+    SMALL-SCALE ORACLE variant: the corpus matrix is broadcast to every actor
+    and each block scores against all of it (O(N²) work, corpus must fit in a
+    worker).  The registered scale path is q_embedding_dedup (LSH-bucketed);
+    this entry stays oracle-paired to pin its exact semantics."""
     import ray
 
     corpus = _small_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -145,6 +149,67 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= {DEDUP_THRESHOLD}
 """
+
+# banded sign-LSH parameters for the scale path: 16 bands × 4 bits gives
+# ~0.91 recall at cosine 0.35 (p_bit = 1 - arccos(s)/pi = 0.614; recall =
+# 1-(1-p^r)^b).  At production thresholds (>=0.8) use more bits per band;
+# both are knobs on q_embedding_dedup.
+DEDUP_BAND_BITS = 4
+DEDUP_BANDS = 16
+
+
+def q_embedding_dedup(sf_dir: str, *, bands: int = DEDUP_BANDS,
+                      band_bits: int = DEDUP_BAND_BITS,
+                      threshold: float = DEDUP_THRESHOLD):
+    """Embedding-cosine near-dup pairs, LSH-bucketed — the registered SCALE
+    path.  Random-hyperplane signatures are split into ``bands`` band keys;
+    rows sharing a band key land in one bucket via ONE groupby shuffle
+    (moving (vec_id, embedding, band) rows, never the whole corpus), and
+    exact cosine pairs >= threshold are verified inside each bucket.
+    Recall < 1 by construction (banded LSH) → registered rows-only; exact
+    semantics are pinned by q_embedding_dedup_exact's SQL oracle and the
+    recall assertion in tests."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    nbits = bands * band_bits
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids, m = _matrix(batch)
+        rng = np.random.Generator(np.random.PCG64(LSH_SEED + 1))
+        planes = rng.standard_normal((nbits, m.shape[1]))
+        bits = (planes @ m.T > 0).astype(np.uint32)  # (nbits, n)
+        out = []
+        for k in range(bands):
+            val = np.zeros(len(ids), dtype=np.uint32)
+            for j in range(band_bits):
+                val |= bits[k * band_bits + j] << np.uint32(j)
+            key = (np.full(len(ids), k, np.int64) << np.int64(32)) | val.astype(np.int64)
+            out.append(pa.table({
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "band": pa.array(key, pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        tbl = pa.Table.from_pandas(g[["vec_id", "embedding"]], preserve_index=False)
+        ids, m = _matrix(tbl)
+        sims = m @ m.T
+        ai, bi = np.nonzero(
+            (np.round(sims, 6) >= threshold) & (ids[:, None] < ids[None, :])
+        )
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+    pairs = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # a pair can collide in several bands → distinct
+    return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
 
 
 def _lsh_planes(dim: int) -> np.ndarray:

@@ -1,4 +1,10 @@
-"""phash-hamming near-dedup and the composed image→embedding→kNN pipeline."""
+"""phash-hamming near-dedup and the composed image→embedding→kNN pipeline.
+
+Near-dup output is CLUSTER rows (representative, member, hamming): identical
+phashes collapse before the pairwise check and union-find closes the
+distinct-phash edge set transitively, so the driver-side oracle here is
+connected components of the exact pairwise hamming<=threshold graph.
+"""
 
 import numpy as np
 import pyarrow as pa
@@ -20,7 +26,37 @@ def test_popcount():
     assert _popcount64(x).tolist() == [0, 1, 2, 64]
 
 
-def test_phash_banding_finds_near_dups_exactly():
+def _oracle_clusters(ids, ph, threshold=3):
+    """Connected components of the exact pairwise hamming graph →
+    {(representative, member)} rows, rep = min image_id per component."""
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ai, bi = np.triu_indices(n, k=1)
+    d = _popcount64(ph[ai] ^ ph[bi])
+    for i, j in zip(ai[d <= threshold], bi[d <= threshold]):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    comps: dict = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(ids[i])
+    rows = set()
+    for members in comps.values():
+        if len(members) < 2:
+            continue
+        rep = min(members)
+        rows.update((rep, m) for m in members if m != rep)
+    return rows
+
+
+def test_phash_banding_finds_near_dup_clusters():
     base = 0x0123456789ABCDEF
     rows = {
         "image_id": ["a", "b", "c", "d"],
@@ -32,31 +68,28 @@ def test_phash_banding_finds_near_dups_exactly():
     }
     ds = ray.data.from_arrow(pa.table(rows))
     got = phash_near_dup_pairs(ds, threshold=3).to_pandas()
-    pairs = {tuple(p) for p in got[["a", "b"]].itertuples(index=False)}
-    assert ("a", "b") in pairs and ("a", "c") in pairs and ("b", "c") in pairs
-    assert not any("d" in p for p in pairs)
-    assert got.set_index(["a", "b"])["hamming"].loc[("a", "b")] == 1
+    clusters = {tuple(p) for p in got[["representative", "member"]].itertuples(index=False)}
+    assert clusters == {("a", "b"), ("a", "c")}
+    h = got.set_index("member")["hamming"]
+    assert h.loc["b"] == 1 and h.loc["c"] == 2
 
 
 def test_image_near_dup_finds_hot_key_clusters(tmp_path):
     root = str(tmp_path / "t")
     t = create_image_table(root, 300, num_fragments=6)
-    pairs = image_near_dup_pairs(t).to_pandas()
+    out = image_near_dup_pairs(t).to_pandas()
     # the 3 injected hot phash values form exact-dup cliques (~10 % of rows)
-    assert len(pairs) > 0
-    assert (pairs["hamming"] == 0).sum() > 0
-    # verify against a driver-side oracle: exact pairwise hamming<=3
+    assert len(out) > 0
+    assert (out["hamming"] == 0).sum() > 0
+    # output is linear in cluster size, not quadratic pair blowup
     full = t.to_arrow(columns=["image_id", "phash"])
     ph = full["phash"].to_numpy().view(np.uint64)
     ids = full["image_id"].to_pylist()
-    ai, bi = np.triu_indices(len(ids), k=1)
-    d = _popcount64(ph[ai] ^ ph[bi])
-    expected = {
-        (min(ids[i], ids[j]), max(ids[i], ids[j]))
-        for i, j, dist in zip(ai, bi, d) if dist <= 3
-    }
-    got = {tuple(p) for p in pairs[["a", "b"]].itertuples(index=False)}
-    assert got == expected  # banding is exact for hamming <= bands-1
+    expected = _oracle_clusters(ids, ph, threshold=3)
+    got = {tuple(p) for p in out[["representative", "member"]].itertuples(index=False)}
+    assert got == expected  # banding exact for hamming <= bands-1, closed transitively
+    assert len(out) == len(set(out["member"]))  # each member exactly once
+    assert len(out) < len(ids)  # linear bound: fewer rows than the table
 
 
 def test_image_knn_deterministic(tmp_path):

@@ -1,0 +1,63 @@
+"""Scale-path regressions (round 2): the registered similarity/dedup entries
+must stream — no whole-corpus broadcast, no driver-side pair collection — and
+stay faithful to their exact small-scale oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocel_ocpn_lakehouse_ray.functions.text import jaccard, word_shingles
+from ocel_ocpn_lakehouse_ray.pipelines import dedup, similarity
+from ocel_ocpn_lakehouse_ray.pipelines.queries import _small_arrow
+from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import _distinct_keys
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_embedding_dedup_lsh_is_dataset_and_high_recall():
+    """The primary embedding_dedup entry is the LSH-bucketed path: it returns
+    a (lazy) Dataset, its pairs are a SUBSET of the exact result (precision 1:
+    in-bucket verification is exact cosine), and recall stays >= 0.8 at the
+    fixture's threshold."""
+    got = similarity.q_embedding_dedup(SF)
+    assert isinstance(got, ray.data.Dataset)  # no driver materialization
+    lsh_pairs = {(r["a"], r["b"]) for r in got.take_all()}
+
+    exact = similarity.q_embedding_dedup_exact(SF)
+    exact_pairs = {(r["a"], r["b"]) for r in exact.take_all()}
+    assert len(exact_pairs) > 0
+    assert lsh_pairs <= exact_pairs  # precision 1.0
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"LSH recall {recall:.3f} below 0.8"
+
+
+def test_ngram_jaccard_copartitioned_matches_driver_oracle():
+    """Co-partitioned verify (shingles travel with the band rows) must return
+    exactly the LSH-candidate pairs whose true Jaccard clears the threshold —
+    compared against a driver-side recomputation over the same candidates."""
+    got = dedup.q_ngram_jaccard(SF)
+    assert isinstance(got, ray.data.Dataset)  # no driver-side pair collection
+    got_rows = {(r["a"], r["b"]): r["jaccard"] for r in got.take_all()}
+
+    cand = dedup.q_minhash_lsh_pairs(SF).to_pandas()
+    docs = _small_arrow(SF, "documents", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    expected = {}
+    for a, b in cand[["a", "b"]].itertuples(index=False):
+        j = round(jaccard(word_shingles(texts[a]), word_shingles(texts[b])), 6)
+        if j >= dedup.JACCARD_THRESHOLD:
+            expected[(a, b)] = j
+    assert got_rows == expected
+
+
+def test_distinct_keys_guard_and_correctness():
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([3, 1, 2, 3, 1], pa.int64())}))
+    keys = _distinct_keys(ds, "k", pa.int64())
+    assert keys.to_pylist() == [1, 2, 3]
+    with pytest.raises(ValueError, match="max_driver_keys"):
+        _distinct_keys(ds, "k", pa.int64(), max_driver_keys=2)
