@@ -95,7 +95,12 @@ def _q_image_knn(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ocel_ocpn_lakehouse_ray.pipelines import dedup, maintenance_queries, similarity
+    from ocel_ocpn_lakehouse_ray.pipelines import (
+        conformance,
+        dedup,
+        maintenance_queries,
+        similarity,
+    )
     from ocel_ocpn_lakehouse_ray.pipelines.queries import QUERIES
     from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_QUERIES
 
@@ -105,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(EXTRA_QUERIES)
     out.update({
         "petri_arcs": q_petri_arcs,
+        "variants": conformance.q_trace_variants,
+        "conformance": conformance.q_conformance,
+        "mv_refresh_variants": maintenance_queries.mv_refresh_variants,
         "knn_bruteforce": similarity.q_knn_bruteforce,
         # scale path (LSH-bucketed, rows-only) is the primary entry; the
         # broadcast-corpus exact variant stays as the oracle-paired pin
@@ -128,7 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocel_ocpn_lakehouse_ray.pipelines import similarity
+    from ocel_ocpn_lakehouse_ray.pipelines import conformance, similarity
     from ocel_ocpn_lakehouse_ray.pipelines.queries import ORACLE_SQL
     from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_ORACLE_SQL
 
@@ -138,6 +146,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(EXTRA_ORACLE_SQL)
     out.update({
         "petri_arcs": SQL_PETRI_ARCS,
+        "variants": conformance.SQL_TRACE_VARIANTS,
+        "conformance": conformance.SQL_CONFORMANCE,
+        # the refreshed variants MV equals the variants aggregate
+        "mv_refresh_variants": conformance.SQL_TRACE_VARIANTS,
         "knn_bruteforce": similarity.SQL_KNN_BRUTEFORCE,
         "embedding_dedup_exact": similarity.SQL_EMBEDDING_DEDUP,
         # the refreshed MV's content equals the direct-follows aggregate —

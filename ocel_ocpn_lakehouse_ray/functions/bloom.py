@@ -1,0 +1,80 @@
+"""Per-fragment key Bloom filters for MERGE fragment pruning.
+
+min/max stats prune fragments whose key RANGE is disjoint from the source;
+after clustering/merges interleave ranges, range pruning degrades.  A small
+Bloom filter over the fragment's key column answers "might this fragment
+contain ANY source key?" regardless of range overlap, and keeps working when
+the source key set is too large for the driver (the blooms are broadcast and
+probed distributed — stages/merge.py).
+
+Standard partitioned-double-hashing Bloom (Kirsch & Mitzenmacher: k indices
+h1 + i*h2): ~10 bits/key, k=7 → ~1 % false-positive rate.  Filters live in
+``data/<fragment_id>.bloom`` sidecar files (not inline in the manifest JSON,
+which stays O(100 B)/fragment); the stats dict records path + parameters.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .hashing import hash_strings, splitmix64
+
+MAGIC = b"BLM1"
+BITS_PER_KEY = 10
+NUM_HASHES = 7
+MIN_BITS = 64
+
+
+def plan_bits(n_keys: int) -> int:
+    """Bit-array size: next power of two of ~10 bits/key (pow2 keeps the
+    index computation a mask, and sizes stay comparable across fragments)."""
+    want = max(MIN_BITS, n_keys * BITS_PER_KEY)
+    return 1 << int(np.ceil(np.log2(want)))
+
+
+def _indices(keys, m_bits: int, i: int) -> np.ndarray:
+    h1 = hash_strings(keys)
+    h2 = splitmix64(h1) | np.uint64(1)  # odd → full-period stepping
+    with np.errstate(over="ignore"):
+        return ((h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)).astype(np.int64)
+
+
+def build(keys, m_bits: int | None = None, k: int = NUM_HASHES) -> np.ndarray:
+    """Build the filter over string keys → uint8 bit array of m_bits/8 bytes."""
+    m_bits = m_bits or plan_bits(len(keys))
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(keys):
+        for i in range(k):
+            idx = _indices(keys, m_bits, i)
+            np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+    return bits
+
+
+def might_contain(bits: np.ndarray, keys, k: int = NUM_HASHES) -> np.ndarray:
+    """Vectorized membership probe: bool array, False = definitely absent."""
+    m_bits = len(bits) * 8
+    out = np.ones(len(keys), dtype=bool)
+    for i in range(k):
+        idx = _indices(keys, m_bits, i)
+        out &= ((bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).astype(bool)
+        if not out.any():
+            break
+    return out
+
+
+def write_sidecar(path: str, bits: np.ndarray, k: int = NUM_HASHES) -> None:
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC + np.uint32(k).tobytes() + bits.tobytes())
+    os.replace(tmp, path)
+
+
+def read_sidecar(path: str) -> tuple[np.ndarray, int]:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != MAGIC:
+        raise ValueError(f"not a bloom sidecar: {path}")
+    k = int(np.frombuffer(raw[4:8], np.uint32)[0])
+    return np.frombuffer(raw[8:], np.uint8), k

@@ -1,0 +1,162 @@
+"""Trace-variant analysis and conformance checking over the events table —
+the reference's two remaining analytics products.
+
+- **Trace variants** (reference `ops/materialized_views.py:370-409`,
+  `analytics/process_discovery.py:51-94`): group-collect each trace's
+  time-ordered event types, join with '->' into a variant pattern, count
+  traces per pattern.  One bucketed group shuffle (per-user rows co-locate),
+  then a tiny pattern aggregate.
+
+- **Conformance** (reference `analytics/conformance_checking.py:186-235`):
+  score each trace against the discovered model.  The model here is the
+  trace-support DFG — edges observed in at least ``median`` many traces
+  (the edge space is |event_types|², tiny at any corpus scale, so the model
+  is a driver-side set broadcast into the scoring stage).
+      fitness   = |trace edges ∩ model| / |trace edges|
+      precision = |trace edges ∩ model| / |model|
+      score     = 0.7·fitness + 0.3·precision   (reference weighting,
+                  `analytics/conformance_checking.py:235`)
+
+Both are SQL-expressible → oracle-paired CORRECTNESS entries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .queries import _read, bucketed_groups
+
+
+def _trace_edge_rows(sf_dir: str):
+    """(user_id, src, dst) DISTINCT direct-follows edges per trace — the
+    shared input of both the model DFG (trace-support counts) and the
+    per-trace scoring.  One bucketed-group shuffle on user_id."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id")["event_type"].shift(1)
+        mask = prev.notna()
+        out = pd.DataFrame({
+            "user_id": g["user_id"][mask].to_numpy(),
+            "src": prev[mask].to_numpy(),
+            "dst": g["event_type"][mask].to_numpy(),
+        })
+        return out.drop_duplicates()
+
+    return bucketed_groups(ds, "user_id", edges)
+
+
+def q_trace_variants(sf_dir: str):
+    """Variant pattern ('->'-joined event-type sequence) per trace, counted —
+    the reference's most-used MV (#3 of 3)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def variant(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        pat = g.groupby("user_id")["event_type"].agg("->".join)
+        return pd.DataFrame({"pattern": pat.to_numpy()})
+
+    pat_ds = bucketed_groups(ds, "user_id", variant)
+    counted = pat_ds.groupby("pattern").count()
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["pattern" if c == "pattern" else "n_traces" for c in b.column_names]
+        )
+
+    return counted.map_batches(rn, batch_format="pyarrow")
+
+
+SQL_TRACE_VARIANTS = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(event_type, '->' ORDER BY ts, event_id) AS pattern
+  FROM events GROUP BY user_id
+)
+SELECT pattern, count(*) AS n_traces FROM seq GROUP BY pattern
+"""
+
+
+def q_conformance(sf_dir: str):
+    """Per-trace conformance scores vs the trace-support DFG model."""
+    te = _trace_edge_rows(sf_dir).materialize()
+    # ^ bounded: ≤ traces × |event_types|² rows, consumed twice (model + score)
+
+    # model: edges supported by >= median-many traces (driver-side — the edge
+    # space is event-type², tiny regardless of corpus size)
+    dfg = te.groupby(["src", "dst"]).count().to_pandas()
+    thresh = float(np.median(dfg["count()"].to_numpy()))
+    model = {
+        (r.src, r.dst)
+        for r in dfg[dfg["count()"] >= thresh].itertuples(index=False)
+    }
+    model_size = len(model)
+
+    import ray
+
+    model_ref = ray.put(model)
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        m = _r.get(model_ref)
+        hits = np.fromiter(
+            (1 if (s, d) in m else 0
+             for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist())),
+            dtype=np.int64, count=b.num_rows,
+        )
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_edges": pa.array(np.ones(b.num_rows, np.int64)),
+            "n_hit": pa.array(hits),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = te.map_batches(score_partial, batch_format="pyarrow").groupby(
+        "user_id"
+    ).aggregate(Sum("n_edges", alias_name="n_edges"), Sum("n_hit", alias_name="n_hit"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        hit = pc.cast(b["n_hit"], pa.float64())
+        fitness = pc.divide(hit, pc.cast(b["n_edges"], pa.float64()))
+        precision = pc.divide(hit, pa.scalar(float(model_size)))
+        score = pc.add(pc.multiply(pa.scalar(0.7), fitness),
+                       pc.multiply(pa.scalar(0.3), precision))
+        return pa.table({
+            "user_id": b["user_id"],
+            "fitness": fitness,
+            "prec": precision,
+            "score": score,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CONFORMANCE = """
+WITH s AS (
+  SELECT user_id, event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+),
+te AS (SELECT DISTINCT user_id, src, dst FROM s WHERE src IS NOT NULL),
+dfg AS (SELECT src, dst, count(*) AS n FROM te GROUP BY 1, 2),
+model AS (SELECT src, dst FROM dfg WHERE n >= (SELECT median(n) FROM dfg)),
+stats AS (
+  SELECT te.user_id,
+         count(*) AS n_edges,
+         sum(CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM te LEFT JOIN model m ON te.src = m.src AND te.dst = m.dst
+  GROUP BY te.user_id
+)
+SELECT user_id,
+       CAST(n_hit AS DOUBLE) / n_edges AS fitness,
+       CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM model) AS prec,
+       0.7 * (CAST(n_hit AS DOUBLE) / n_edges)
+     + 0.3 * (CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM model)) AS score
+FROM stats
+"""

@@ -141,6 +141,23 @@ def mv_refresh_dfg(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def mv_refresh_variants(sf_dir: str) -> pd.DataFrame:
+    """Trace-variants MV (the reference's MV #3, `ops/materialized_views.py:
+    370-409`) refreshed twice through the overwrite path, then read back."""
+    import uuid as _uuid
+
+    from .conformance import q_trace_variants
+    from .mv import MaterializedView
+
+    wh = os.path.join(WORK_ROOT, f"wh_{_uuid.uuid4().hex[:8]}")
+    mv = MaterializedView(wh, "variants", lambda: q_trace_variants(sf_dir))
+    mv.refresh()
+    mv.refresh()  # second refresh must fully overwrite, not append
+    df = mv.read().to_pandas().sort_values("pattern").reset_index(drop=True)
+    shutil.rmtree(wh, ignore_errors=True)
+    return df
+
+
 def maint_expire_gc(sf_dir: str) -> pd.DataFrame:
     root = _working_copy(_scale_n(sf_dir), "gc")
     t = LakeTable.load(root)

@@ -65,8 +65,15 @@ def random_fragment_name() -> str:
     return f"frag-{uuid.uuid4().hex[:20]}.parquet"
 
 
+MERGE_KEY_COLUMN = "image_id"  # per-fragment key blooms target the MERGE key
+
+
 def write_fragment(root: str, tbl: pa.Table, name: str | None = None) -> FragmentMeta:
-    """Write one fragment (atomic, idempotent when ``name`` is content-addressed)."""
+    """Write one fragment (atomic, idempotent when ``name`` is content-addressed).
+
+    Tables carrying the MERGE key column also get a key Bloom sidecar
+    (``<fragment>.bloom``) so MERGE can prune fragments whose key SET misses
+    the source even when key RANGES interleave (functions/bloom.py)."""
     name = name or random_fragment_name()
     rel = os.path.join(DATA_DIR, name)
     final = os.path.join(root, rel)
@@ -74,12 +81,25 @@ def write_fragment(root: str, tbl: pa.Table, name: str | None = None) -> Fragmen
         tmp = final + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
         pq.write_table(tbl, tmp, compression="snappy")
         os.replace(tmp, final)
+    stats = compute_stats(tbl)
+    if MERGE_KEY_COLUMN in tbl.column_names and pa.types.is_string(
+        tbl.schema.field(MERGE_KEY_COLUMN).type
+    ):
+        from ..functions import bloom
+
+        bloom_rel = rel.rsplit(".", 1)[0] + ".bloom"
+        bloom_path = os.path.join(root, bloom_rel)
+        if not os.path.exists(bloom_path):
+            keys = tbl[MERGE_KEY_COLUMN].drop_null().to_pylist()
+            bloom.write_sidecar(bloom_path, bloom.build(keys))
+        stats["__bloom"] = {"column": MERGE_KEY_COLUMN, "path": bloom_rel,
+                            "k": bloom.NUM_HASHES}
     return FragmentMeta(
         fragment_id=name.rsplit(".", 1)[0],
         path=rel,
         rows=tbl.num_rows,
         bytes=os.path.getsize(final),
-        stats=compute_stats(tbl),
+        stats=stats,
     )
 
 

@@ -64,6 +64,11 @@ def fsck(root: str) -> dict:
     data_dir = os.path.join(root, mf.DATA_DIR)
     on_disk, orphans = [], []
     for name in os.listdir(data_dir):
+        if name.endswith(".bloom"):
+            # key-bloom sidecar: owned by its fragment, orphan iff it is
+            if name.rsplit(".", 1)[0] not in live:
+                orphans.append(name)
+            continue
         if not name.endswith(".parquet"):
             orphans.append(name)  # tmp leftovers etc.
             continue
@@ -88,7 +93,9 @@ def garbage_collect(root: str, *, delete_orphans: bool = True,
     deleted, kept_grace = [], []
     for name in os.listdir(data_dir):
         path = os.path.join(data_dir, name)
-        frag_id = name.rsplit(".", 1)[0] if name.endswith(".parquet") else name
+        # .parquet and .bloom sidecars share the fragment's lifetime
+        frag_id = (name.rsplit(".", 1)[0]
+                   if name.endswith((".parquet", ".bloom")) else name)
         if frag_id in live:
             continue
         age = now - os.path.getmtime(path)

@@ -33,6 +33,7 @@ partitions raise the partition count before the shuffle runs.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -51,9 +52,14 @@ from .shuffle import (
 SIDE_COL = "__side"
 
 
-def prune_touched_fragments(fragments, source_keys: np.ndarray):
-    """Split fragments into (touched, untouched) using manifest image_id
-    min/max stats vs the sorted source key set."""
+def prune_touched_fragments(fragments, source_keys: np.ndarray, root: str | None = None):
+    """Split fragments into (touched, untouched): first by manifest image_id
+    min/max range stats, then — for range-overlapping fragments that carry a
+    key Bloom sidecar (functions/bloom.py) — by probing the in-range source
+    keys against the bloom.  A fragment whose bloom misses EVERY source key
+    definitely contains none of them (blooms have no false negatives)."""
+    from ..functions import bloom as bl
+
     keys = np.sort(np.asarray(source_keys))
     touched, untouched = [], []
     for f in fragments:
@@ -61,12 +67,75 @@ def prune_touched_fragments(fragments, source_keys: np.ndarray):
         if not st or st.get("min") is None:
             touched.append(f)
             continue
-        i = np.searchsorted(keys, st["min"], side="left")
-        if i < len(keys) and keys[i] <= st["max"]:
-            touched.append(f)
-        else:
+        lo = np.searchsorted(keys, st["min"], side="left")
+        hi = np.searchsorted(keys, st["max"], side="right")
+        if lo >= hi:  # key range disjoint from the source
             untouched.append(f)
+            continue
+        binfo = f.stats.get("__bloom")
+        if root is not None and binfo:
+            try:
+                bits, k = bl.read_sidecar(os.path.join(root, binfo["path"]))
+            except (OSError, ValueError):
+                touched.append(f)  # sidecar missing/corrupt → conservative
+                continue
+            if not bl.might_contain(bits, keys[lo:hi], k).any():
+                untouched.append(f)
+                continue
+        touched.append(f)
     return touched, untouched
+
+
+def prune_touched_distributed(table, src_files, *, batch_size: int = 65536):
+    """Touched-fragment ids for sources too large for a driver key set:
+    every fragment's (tiny) bloom + key range is broadcast once, and Ray
+    tasks stream the staged source key column, probing each batch against
+    each bloom; the driver unions only fragment-id hits.  Fragments without
+    a bloom sidecar are conservatively touched."""
+    import ray
+    import ray.data
+
+    from ..functions import bloom as bl
+
+    blooms, touched = {}, set()
+    for f in table.fragments:
+        st = f.stats.get("image_id") or {}
+        binfo = f.stats.get("__bloom")
+        if not binfo:
+            touched.add(f.fragment_id)
+            continue
+        try:
+            bits, k = bl.read_sidecar(os.path.join(table.root, binfo["path"]))
+        except (OSError, ValueError):
+            touched.add(f.fragment_id)
+            continue
+        blooms[f.fragment_id] = (bits, k, st.get("min"), st.get("max"))
+    if not blooms:
+        return sorted(touched)
+    ref = ray.put(blooms)
+
+    def probe(batch):
+        import ray as _r
+
+        bmap = _r.get(ref)
+        ks = np.sort(np.asarray(batch["image_id"].to_pylist(), dtype=object))
+        hits = []
+        for fid, (bits, k, mn, mx) in bmap.items():
+            if mn is not None:
+                lo = np.searchsorted(ks, mn, side="left")
+                hi = np.searchsorted(ks, mx, side="right")
+                kk = ks[lo:hi]
+            else:
+                kk = ks
+            if len(kk) and bl.might_contain(bits, kk, k).any():
+                hits.append(fid)
+        return pa.table({"fragment_id": pa.array(hits, pa.string())})
+
+    ds = ray.data.read_parquet(src_files, columns=["image_id"])
+    hit_ds = ds.map_batches(probe, batch_format="pyarrow", batch_size=batch_size)
+    for b in hit_ds.iter_batches(batch_format="pyarrow"):
+        touched.update(b["fragment_id"].to_pylist())
+    return sorted(touched)
 
 
 def _merge_partition(group: pa.Table, *, root, job_id, target_bytes,
@@ -165,14 +234,17 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
         # keys only — at 10^12 rows swap for per-fragment blooms; docstring)
         src_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in src_files)
         if src_rows > max_driver_keys:
-            touched_ids = [f.fragment_id for f in table.fragments]  # no pruning
+            # source keys won't fit on the driver → distributed bloom probe
+            # (fragments lacking blooms are conservatively touched)
+            touched_ids = prune_touched_distributed(table, src_files)
         else:
             key_tbls = [pq.read_table(p, columns=["image_id"]) for p in src_files]
             src_keys = (
                 pa.concat_tables(key_tbls)["image_id"].to_numpy(zero_copy_only=False)
                 if key_tbls else np.array([], dtype=object)
             )
-            touched, _ = prune_touched_fragments(table.fragments, src_keys)
+            touched, _ = prune_touched_fragments(table.fragments, src_keys,
+                                                 root=table.root)
             touched_ids = [f.fragment_id for f in touched]
         touched_bytes = sum(f.bytes for f in table.fragments if f.fragment_id in set(touched_ids))
         P = num_partitions or choose_num_partitions(
