@@ -58,8 +58,11 @@ def main(argv=None):
     ap.add_argument("command", choices=["create", "compact", "cluster", "merge",
                                         "expire", "gc", "fsck", "plan", "verify",
                                         "decode-verify", "health", "history",
-                                        "cleanup-journal"])
+                                        "cleanup-journal", "refresh-views", "ask"])
     ap.add_argument("--root", required=True)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--question", default=None)
+    ap.add_argument("--iterations", type=int, default=1)
     ap.add_argument("--rows", type=int, default=20000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--job-id", default=None)
@@ -150,6 +153,46 @@ def main(argv=None):
         t0 = _time.time()
         n = decode_stats_pipeline(t, batch_size=128, num_blocks=cpus * 3).count()
         out = {"rows": n, "seconds": round(_time.time() - t0, 3)}
+    elif args.command == "refresh-views":
+        # scheduler-driven refresh of the standard MVs (direct-follows DFG +
+        # trace variants) against --sf-dir; stats persist under --root
+        import os as _os
+
+        from .pipelines.conformance import q_trace_variants
+        from .pipelines.mv import MaterializedView
+        from .pipelines.queries import q_direct_follows
+        from .pipelines.scheduler import RefreshScheduler
+
+        sf = args.sf_dir
+        sched = RefreshScheduler(
+            stats_path=_os.path.join(args.root, "refresh_stats.json"))
+        _os.makedirs(args.root, exist_ok=True)
+        sched.register(MaterializedView(args.root, "dfg",
+                                        lambda: q_direct_follows(sf)),
+                       interval_seconds=0.0)
+        sched.register(MaterializedView(args.root, "variants",
+                                        lambda: q_trace_variants(sf)),
+                       interval_seconds=0.0)
+        reports = sched.run_loop(iterations=args.iterations)
+        out = {"iterations": len(reports), "last": reports[-1] if reports else {}}
+    elif args.command == "ask":
+        import __ray_entry__ as _entry
+
+        from .pipelines.nl import answer
+
+        if not args.question:
+            raise SystemExit("ask requires --question")
+        name, result = answer(args.question, args.sf_dir, _entry.queries())
+        try:
+            import pandas as _pd
+            import ray.data as _rd
+
+            if isinstance(result, _rd.Dataset):
+                result = result.to_pandas()
+            rows = len(result)
+        except Exception:
+            rows = None
+        out = {"intent": name, "rows": rows}
     elif args.command == "verify":
         import numpy as np
         import ray.data

@@ -429,22 +429,49 @@ FROM events
 """
 
 
+def exact_quantiles_distributed(ds, col: str, qs: list[float]) -> list[float]:
+    """EXACT percentile_cont quantiles without pulling the column to the
+    driver: a distributed value-histogram (groupby(value).count() — the
+    heavy dedup/count work happens in the cluster) is collected instead of
+    the rows, so the driver holds O(distinct values), not O(rows).  Money
+    columns are domain-bounded (cents within a price range), so distinct
+    cardinality stays fixed as rows grow — unlike the raw column.
+    Interpolation replicates numpy/DuckDB percentile_cont exactly by
+    delegating the final lerp to np.quantile over the two bracketing values."""
+    hist = ds.groupby(col).count().to_pandas().sort_values(col)
+    vals = hist[col].to_numpy()
+    cum = np.cumsum(hist["count()"].to_numpy())
+    n = int(cum[-1])
+
+    def value_at(rank: int) -> float:
+        return float(vals[np.searchsorted(cum, rank, side="right")])
+
+    out = []
+    for q in qs:
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        a, b = value_at(lo), value_at(min(lo + 1, n - 1))
+        v = float(np.quantile(np.array([a, b]), h - lo, method="linear"))
+        # numpy's lerp and DuckDB's percentile_cont interpolation differ in
+        # the last ulp; Python round() is correctly-rounded like DuckDB's
+        # ROUND, so rounding BOTH sides to 4 decimals (money has 2; a lerp of
+        # two money values has <= 4 meaningful decimals) makes them identical.
+        out.append(round(v, 4))
+    return out
+
+
 def q_price_percentiles(sf_dir: str):
-    """A7: exact percentiles of o_totalprice.  The single numeric column is
-    streamed to the driver (8 bytes/row — at 10^12 rows swap for a per-block
-    t-digest sketch merge, SURVEY.md §2.5 A7); interpolation matches
-    percentile_cont (`agent/process_mining_queries.py:146-166`)."""
+    """A7: exact percentiles of o_totalprice via the distributed
+    value-histogram (`agent/process_mining_queries.py:146-166`)."""
     ds = _read(sf_dir, "orders", columns=["o_totalprice"])
-    parts = [b["o_totalprice"].to_numpy() for b in ds.iter_batches(batch_format="pyarrow")]
-    v = np.concatenate(parts)
-    p50, p90, p99 = (float(np.quantile(v, q, method="linear")) for q in (0.5, 0.9, 0.99))
+    p50, p90, p99 = exact_quantiles_distributed(ds, "o_totalprice", [0.5, 0.9, 0.99])
     return pd.DataFrame({"p50": [p50], "p90": [p90], "p99": [p99]})
 
 
 _SQL_PRICE_PERCENTILES = """
-SELECT percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
-       percentile_cont(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
-       percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+SELECT ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+       ROUND(percentile_cont(0.90) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+       ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p99
 FROM orders
 """
 

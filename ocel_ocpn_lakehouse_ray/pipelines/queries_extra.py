@@ -280,10 +280,12 @@ FROM part GROUP BY p_brand
 def q_threshold_cut(sf_dir: str):
     """O5 threshold-percentile cut (`agent/process_mining_queries.py:300-322`):
     two-pass — exact p95 of o_totalprice, then filter rows above it."""
+    from .queries import exact_quantiles_distributed
+
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    parts = [b["o_totalprice"].to_numpy() for b in
-             _read(sf_dir, "orders", columns=["o_totalprice"]).iter_batches(batch_format="pyarrow")]
-    p95 = float(np.quantile(np.concatenate(parts), 0.95, method="linear"))
+    [p95] = exact_quantiles_distributed(
+        _read(sf_dir, "orders", columns=["o_totalprice"]), "o_totalprice", [0.95]
+    )
 
     def fn(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater(b["o_totalprice"], pa.scalar(p95)))
@@ -294,7 +296,8 @@ def q_threshold_cut(sf_dir: str):
 _SQL_THRESHOLD_CUT = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_totalprice > (
-  SELECT percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice) FROM orders)
+  SELECT ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice), 4)
+  FROM orders)
 """
 
 
