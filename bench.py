@@ -107,13 +107,21 @@ def run_bench(num_cpus: int, sf_dir: str, *, maintenance_only: bool = False,
     src = merge_source_dataset(n, num_blocks=max(4, n // 500))
     t, rep_m = run_merge(t, src, job_id="bench-merge")
     t_m = time.time()
-    # post-maintenance verification scan: decode EVERY surviving image
-    # (north_star scan invariant exercised at bench scale; CPU-bound)
-    from ocel_ocpn_lakehouse_ray.stages.multimodal import decode_stats_pipeline
+    # post-maintenance STRICT verification: every surviving row is compared
+    # against its regenerated expected row — caption exact, meta exact, both
+    # sides decoded (north_star invariant) — as a map-only pipeline
+    from ocel_ocpn_lakehouse_ray.stages.verify import verify_merged_map_only
 
-    n_decoded = decode_stats_pipeline(
-        t, batch_size=128, num_blocks=num_cpus * 3
-    ).count()
+    vrep = verify_merged_map_only(t, n=n, num_blocks=num_cpus * 3)
+    if not vrep["passed"]:
+        raise RuntimeError(f"post-maintenance verification FAILED: {vrep}")
+    # snapshot isolation: the pre-merge pinned version must verify unchanged
+    t_pre = LakeTable.load(root, version=t.version - 1)
+    srep = verify_merged_map_only(t_pre, n=n, num_blocks=num_cpus * 3,
+                                  merged=False)
+    if not srep["passed"]:
+        raise RuntimeError(f"snapshot-isolation verification FAILED: {srep}")
+    n_decoded = vrep["pairs"] + srep["pairs"]
     maint_secs = time.time() - t0
     phases = {
         "compact": round(t_c - t0, 3),
@@ -176,7 +184,10 @@ def _lifecycle_seconds(root: str, cpus: int, n: int) -> tuple[float, int]:
         ["compact", "--root", root, "--job-id", "sc-c"],
         ["cluster", "--root", root, "--order", "zorder", "--job-id", "sc-z"],
         ["merge", "--root", root, "--job-id", "sc-m", "--source-rows", str(n)],
-        ["decode-verify", "--root", root],
+        ["verify-merged", "--root", root, "--rows", str(n)],
+        # snapshot isolation: the version pinned BEFORE the merge (-1 =
+        # parent of latest) must still verify byte-faithful (north_rule)
+        ["verify-snapshot", "--root", root, "--rows", str(n), "--version", "-1"],
     ):
         rep = _run_job(cmd, cpus)
         secs += rep["seconds"]

@@ -58,7 +58,8 @@ def main(argv=None):
     ap.add_argument("command", choices=["create", "compact", "cluster", "merge",
                                         "expire", "gc", "fsck", "plan", "verify",
                                         "decode-verify", "health", "history",
-                                        "cleanup-journal", "refresh-views", "ask"])
+                                        "cleanup-journal", "refresh-views", "ask",
+                                        "verify-merged", "verify-snapshot"])
     ap.add_argument("--root", required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--question", default=None)
@@ -203,6 +204,33 @@ def main(argv=None):
         t = LakeTable.load(args.root, version=args.version)
         expected = ray.data.from_arrow(gen_batch(np.arange(args.rows), args.seed))
         out = scan_equivalence(t.to_dataset(), expected)
+    elif args.command in ("verify-merged", "verify-snapshot"):
+        # STRICT verification (north_star invariants): expected rows are
+        # regenerated deterministically INSIDE each batch and every pair is
+        # decoded — map-only, no shuffle (stages/verify.py).
+        #   verify-merged   → post-merge state (updates + inserts applied)
+        #   verify-snapshot → a PINNED pre-merge version must still show the
+        #                     original rows byte-faithful (snapshot isolation);
+        #                     --version may be negative (-1 = parent of latest)
+        import time as _time
+
+        from .state import manifest as _mf
+        from .stages.verify import verify_merged_map_only
+
+        version = args.version
+        if version is not None and version < 0:
+            version = _mf.read_latest_version(args.root) + version
+        t = LakeTable.load(args.root, version=version)
+        t0 = _time.time()
+        out = verify_merged_map_only(
+            t, n=args.rows, seed=args.seed,
+            merged=(args.command == "verify-merged"))
+        out["seconds"] = round(_time.time() - t0, 3)
+        out["rows"] = out["pairs"]
+        out["version"] = t.version
+        if not out["passed"]:
+            print(json.dumps(out, default=str))
+            raise SystemExit(1)
     else:  # pragma: no cover
         raise SystemExit(2)
     print(json.dumps(out, default=str))

@@ -48,6 +48,9 @@ class TableConfig:
     target_fragment_bytes: int = TARGET_FRAGMENT_BYTES
     small_file_bytes: int = SMALL_FILE_BYTES
     cluster_order: str = "none"          # "zorder" | "hilbert" | "none"
+    # rewrite-job shuffle: "fs" = storage-partitioned partials (external-
+    # shuffle pattern, stages/fs_shuffle.py); "ray" = object-store groupby
+    shuffle_strategy: str = "fs"
     retention_keep_last: int = 10        # manifests kept by snapshot expiry (>=1)
     retention_max_age_days: float = SNAPSHOT_OLD_DAYS
     skew_alarm_ratio: float = SKEW_ALARM_RATIO

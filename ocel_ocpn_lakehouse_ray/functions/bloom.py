@@ -34,9 +34,16 @@ def plan_bits(n_keys: int) -> int:
     return 1 << int(np.ceil(np.log2(want)))
 
 
-def _indices(keys, m_bits: int, i: int) -> np.ndarray:
+def key_hashes(keys) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) double-hash pair per key — compute ONCE per key set; the
+    string hash is the expensive step, so callers probing several blooms
+    against the same keys reuse these instead of re-hashing per filter."""
     h1 = hash_strings(keys)
     h2 = splitmix64(h1) | np.uint64(1)  # odd → full-period stepping
+    return h1, h2
+
+
+def _indices(h1: np.ndarray, h2: np.ndarray, m_bits: int, i: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         return ((h1 + np.uint64(i) * h2) & np.uint64(m_bits - 1)).astype(np.int64)
 
@@ -46,22 +53,30 @@ def build(keys, m_bits: int | None = None, k: int = NUM_HASHES) -> np.ndarray:
     m_bits = m_bits or plan_bits(len(keys))
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
     if len(keys):
+        h1, h2 = key_hashes(keys)
         for i in range(k):
-            idx = _indices(keys, m_bits, i)
+            idx = _indices(h1, h2, m_bits, i)
             np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
     return bits
 
 
-def might_contain(bits: np.ndarray, keys, k: int = NUM_HASHES) -> np.ndarray:
-    """Vectorized membership probe: bool array, False = definitely absent."""
+def might_contain_hashes(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+                         k: int = NUM_HASHES) -> np.ndarray:
+    """Membership probe over precomputed key hashes (see key_hashes)."""
     m_bits = len(bits) * 8
-    out = np.ones(len(keys), dtype=bool)
+    out = np.ones(len(h1), dtype=bool)
     for i in range(k):
-        idx = _indices(keys, m_bits, i)
+        idx = _indices(h1, h2, m_bits, i)
         out &= ((bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).astype(bool)
         if not out.any():
             break
     return out
+
+
+def might_contain(bits: np.ndarray, keys, k: int = NUM_HASHES) -> np.ndarray:
+    """Vectorized membership probe: bool array, False = definitely absent."""
+    h1, h2 = key_hashes(keys)
+    return might_contain_hashes(bits, h1, h2, k)
 
 
 def write_sidecar(path: str, bits: np.ndarray, k: int = NUM_HASHES) -> None:

@@ -168,23 +168,40 @@ def run_clustering(table, *, order: str | None = None, job_id: str | None = None
 
     # read with enough blocks that the shuffle's map side saturates the
     # cluster (small-file coalescing would otherwise cap it at ~2 blocks/GB)
+    import os
+
     import ray
 
     nblocks = max(P, 2 * int(ray.cluster_resources().get("CPU", 8)))
     ds = table.to_dataset(override_num_blocks=nblocks)
-    meta_ds = (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby(PART_COL)
-        .map_groups(
-            _write_partition,
-            fn_kwargs=dict(root=table.root, job_id=job_id,
-                           target_bytes=cfg.target_fragment_bytes, failpoint=failpoint),
-            batch_format="pyarrow",
-        )
-    )
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    reduce_kwargs = dict(root=table.root, job_id=job_id,
+                         target_bytes=cfg.target_fragment_bytes, failpoint=failpoint)
     add = []
-    for b in meta_ds.iter_batches(batch_format="pyarrow"):
-        add.extend(batch_to_metas(b))
+    strategy = os.environ.get("GRAFT_SHUFFLE", cfg.shuffle_strategy)
+    if strategy == "fs":
+        # storage-partitioned shuffle (stages/fs_shuffle.py): partials go to
+        # table storage, one reduce task per range partition.  Partials are
+        # rebuilt from scratch on resume (cheap map-only pass); COMPLETED
+        # partitions still short-circuit via their lineage records.
+        from .fs_shuffle import cleanup, fs_shuffle_groups
+
+        work = os.path.join(lineage.journal_dir(table.root, job_id), "shuffle")
+        cleanup(work)
+        try:
+            outs = fs_shuffle_groups(assigned, part_col=PART_COL, work_dir=work,
+                                     reduce_fn=_write_partition,
+                                     fn_kwargs=reduce_kwargs)
+        finally:
+            cleanup(work)
+        for out in outs:
+            add.extend(batch_to_metas(out))
+    else:
+        meta_ds = assigned.groupby(PART_COL).map_groups(
+            _write_partition, fn_kwargs=reduce_kwargs, batch_format="pyarrow",
+        )
+        for b in meta_ds.iter_batches(batch_format="pyarrow"):
+            add.extend(batch_to_metas(b))
     # journal is authoritative (covers resumed partitions whose groups were
     # recomputed but skipped, and empty partitions produce no record)
     records = lineage.load_records(table.root, job_id)

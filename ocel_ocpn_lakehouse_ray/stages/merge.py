@@ -61,6 +61,7 @@ def prune_touched_fragments(fragments, source_keys: np.ndarray, root: str | None
     from ..functions import bloom as bl
 
     keys = np.sort(np.asarray(source_keys))
+    h1 = h2 = None  # key hashes computed lazily ONCE, reused for every bloom
     touched, untouched = [], []
     for f in fragments:
         st = f.stats.get("image_id")
@@ -79,7 +80,9 @@ def prune_touched_fragments(fragments, source_keys: np.ndarray, root: str | None
             except (OSError, ValueError):
                 touched.append(f)  # sidecar missing/corrupt → conservative
                 continue
-            if not bl.might_contain(bits, keys[lo:hi], k).any():
+            if h1 is None:
+                h1, h2 = bl.key_hashes(keys)
+            if not bl.might_contain_hashes(bits, h1[lo:hi], h2[lo:hi], k).any():
                 untouched.append(f)
                 continue
         touched.append(f)
@@ -119,15 +122,15 @@ def prune_touched_distributed(table, src_files, *, batch_size: int = 65536):
 
         bmap = _r.get(ref)
         ks = np.sort(np.asarray(batch["image_id"].to_pylist(), dtype=object))
+        h1, h2 = bl.key_hashes(ks)  # hash once, probe every bloom
         hits = []
         for fid, (bits, k, mn, mx) in bmap.items():
             if mn is not None:
                 lo = np.searchsorted(ks, mn, side="left")
                 hi = np.searchsorted(ks, mx, side="right")
-                kk = ks[lo:hi]
             else:
-                kk = ks
-            if len(kk) and bl.might_contain(bits, kk, k).any():
+                lo, hi = 0, len(ks)
+            if lo < hi and bl.might_contain_hashes(bits, h1[lo:hi], h2[lo:hi], k).any():
                 hits.append(fid)
         return pa.table({"fragment_id": pa.array(hits, pa.string())})
 
@@ -281,15 +284,33 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
         batch = batch.set_column(i, SIDE_COL, pc.cast(side, pa.int8()))
         return assign_hash_part(batch, "image_id", P)
 
-    meta_ds = ds.map_batches(assign, batch_format="pyarrow").groupby(PART_COL).map_groups(
-        _merge_partition,
-        fn_kwargs=dict(root=table.root, job_id=job_id,
-                       target_bytes=cfg.target_fragment_bytes, failpoint=failpoint),
-        batch_format="pyarrow",
-    )
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    reduce_kwargs = dict(root=table.root, job_id=job_id,
+                         target_bytes=cfg.target_fragment_bytes, failpoint=failpoint)
     add = []
-    for b in meta_ds.iter_batches(batch_format="pyarrow"):
-        add.extend(batch_to_metas(b))
+    strategy = os.environ.get("GRAFT_SHUFFLE", cfg.shuffle_strategy)
+    if strategy == "fs":
+        # storage-partitioned shuffle (see stages/fs_shuffle.py and the same
+        # block in clustering.py); completed partitions short-circuit via
+        # their lineage records inside _merge_partition.
+        from .fs_shuffle import cleanup, fs_shuffle_groups
+
+        work = os.path.join(lineage.journal_dir(table.root, job_id), "shuffle")
+        cleanup(work)
+        try:
+            outs = fs_shuffle_groups(assigned, part_col=PART_COL, work_dir=work,
+                                     reduce_fn=_merge_partition,
+                                     fn_kwargs=reduce_kwargs)
+        finally:
+            cleanup(work)
+        for out in outs:
+            add.extend(batch_to_metas(out))
+    else:
+        meta_ds = assigned.groupby(PART_COL).map_groups(
+            _merge_partition, fn_kwargs=reduce_kwargs, batch_format="pyarrow",
+        )
+        for b in meta_ds.iter_batches(batch_format="pyarrow"):
+            add.extend(batch_to_metas(b))
     records = lineage.load_records(table.root, job_id)
     by_id = {m.fragment_id: m for rec in records.values() for m in rec.out_metas()}
     add = list(by_id.values())

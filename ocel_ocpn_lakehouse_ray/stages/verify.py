@@ -36,47 +36,54 @@ REPORT_SCHEMA = pa.schema(
 )
 
 
-def _compare_partition(group: pa.Table) -> pa.Table:
+def _compare_partition(group: pa.Table, strict: bool = False) -> pa.Table:
+    """One hash partition of both tagged sides → one report row.
+
+    Metadata comparison is a vectorized pandas merge; the per-row work is
+    ONLY image decoding.  ``strict`` decodes BOTH sides of EVERY matched
+    pair — the literal north_star invariant ("every surviving row must be
+    decoded-pixel allclose") with no byte-identity shortcut; non-strict
+    keeps the shortcut (byte-equal rows are trivially equivalent)."""
     side = group[SIDE_COL].to_numpy()
-    actual = group.filter(pa.array(side == 0))
-    expected = group.filter(pa.array(side == 1))
-    a_ids = actual["image_id"].to_pylist()
-    e_ids = expected["image_id"].to_pylist()
-    a_idx = {k: i for i, k in enumerate(a_ids)}
-    e_idx = {k: i for i, k in enumerate(e_ids)}
-    missing = sum(1 for k in e_idx if k not in a_idx)
-    unexpected = sum(1 for k in a_idx if k not in e_idx)
-    cap_bad = meta_bad = pix_bad = 0
+    cols = ["image_id", "caption", "w", "h", "fmt", "phash", "bytes"]
+    a = group.filter(pa.array(side == 0)).select(cols).to_pandas()
+    e = group.filter(pa.array(side == 1)).select(cols).to_pandas()
+    m = a.merge(e, on="image_id", how="outer", suffixes=("_a", "_e"),
+                indicator=True)
+    missing = int((m["_merge"] == "right_only").sum())
+    unexpected = int((m["_merge"] == "left_only").sum())
+    both = m[m["_merge"] == "both"]
+    pairs = len(both)
+    cap_bad = int((both["caption_a"] != both["caption_e"]).sum())
+    meta_ok = ((both["w_a"] == both["w_e"]) & (both["h_a"] == both["h_e"])
+               & (both["fmt_a"] == both["fmt_e"])
+               & (both["phash_a"] == both["phash_e"])).to_numpy()
+    meta_bad = int((~meta_ok).sum())
+    ab = both["bytes_a"].to_numpy()
+    eb = both["bytes_e"].to_numpy()
+    fmts = both["fmt_a"].to_numpy()
+    if strict:
+        to_decode = np.nonzero(meta_ok)[0]
+    else:
+        byte_eq = np.fromiter((x == y for x, y in zip(ab, eb)), bool, len(ab)) \
+            if len(ab) else np.array([], bool)
+        to_decode = np.nonzero(meta_ok & ~byte_eq)[0]
+    pix_bad = 0
     min_psnr = float("inf")
-    pairs = 0
-    a_cols = {c: actual[c] for c in ("caption", "w", "h", "fmt", "phash", "bytes")}
-    e_cols = {c: expected[c] for c in ("caption", "w", "h", "fmt", "phash", "bytes")}
-    for k, ia in a_idx.items():
-        ie = e_idx.get(k)
-        if ie is None:
-            continue
-        pairs += 1
-        if a_cols["caption"][ia].as_py() != e_cols["caption"][ie].as_py():
-            cap_bad += 1
-        if any(a_cols[c][ia].as_py() != e_cols[c][ie].as_py() for c in ("w", "h", "fmt", "phash")):
-            meta_bad += 1
-            continue
-        ab = a_cols["bytes"][ia].as_py()
-        eb = e_cols["bytes"][ie].as_py()
-        fmt = a_cols["fmt"][ia].as_py()
-        if ab == eb:
-            continue  # byte-identical: trivially equivalent
+    for i in to_decode:
         try:
-            da, de = decode_image(ab, fmt), decode_image(eb, fmt)
+            da, de = decode_image(ab[i], fmts[i]), decode_image(eb[i], fmts[i])
         except Exception:
             pix_bad += 1
             continue
         if da.shape != de.shape:
             pix_bad += 1
             continue
+        if ab[i] == eb[i]:  # strict path: decodability proven, pixels equal
+            continue
         p = psnr(da, de)
         min_psnr = min(min_psnr, p)
-        ok = (da == de).all() if fmt == "png" else p >= PSNR_THRESHOLD_DB
+        ok = (da == de).all() if fmts[i] == "png" else p >= PSNR_THRESHOLD_DB
         if not ok:
             pix_bad += 1
     return pa.table(
@@ -93,9 +100,129 @@ def _compare_partition(group: pa.Table) -> pa.Table:
     )
 
 
-def scan_equivalence(actual_ds, expected_ds, *, num_parts: int = 16) -> dict:
+def _expected_total(n: int) -> int:
+    return n + max(1, n // 20)  # base rows + merge inserts (generator F2)
+
+
+def verify_merged_map_only(table, *, n: int, seed: int = 42,
+                           num_blocks: int | None = None,
+                           merged: bool = True) -> dict:
+    """STRICT verification with NO shuffle: because the expected table is a
+    deterministic function of the row id (sources/generator.py), each batch
+    of the actual scan REGENERATES its own expected rows in place and
+    compares — caption exact, meta exact, both sides decoded per row
+    (decoded-pixel allclose, PSNR >= 40 dB for lossy; the literal north_star
+    invariant).  Map-only → scales like the decode kernel, not the shuffle.
+
+    ``merged=True`` expects the POST-merge state (unchanged + updated rows +
+    inserts); ``merged=False`` expects the PRE-merge state — the
+    snapshot-isolation check: a reader pinned to a pre-maintenance version
+    must still see exactly the original rows, byte-faithful.
+
+    Completeness without a join: row ids are unique and the expected id
+    domain is closed ([0, n) ∪ inserts), so `pairs == expected_total` with
+    zero unexpected rows implies zero missing rows.
+    """
+    import ray
+
+    from ..sources.generator import _update_mask, gen_batch, gen_update_batch
+
+    INSERT_BASE = 9 * 10**11
+
+    def check(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        nums = np.array([int(s.rsplit("_", 1)[1]) for s in ids], dtype=np.uint64)
+        is_ins = nums >= np.uint64(INSERT_BASE)
+        in_base = nums < np.uint64(n)
+        n_ins_total = max(1, n // 20)
+        ins_ok = merged & is_ins & (nums < np.uint64(INSERT_BASE + n_ins_total))
+        unexpected = int((~(in_base | ins_ok)).sum())
+        upd = np.zeros(len(nums), bool)
+        if merged and in_base.any():
+            upd_mask = _update_mask(nums[in_base], seed)
+            upd[np.nonzero(in_base)[0][upd_mask]] = True
+        cap_bad = meta_bad = pix_bad = 0
+        pairs = 0
+        min_psnr = float("inf")
+        for sel, gen in (
+            (in_base & ~upd, lambda x: gen_batch(x, seed)),
+            (upd, lambda x: gen_update_batch(x, seed)),
+            (ins_ok, lambda x: gen_batch(x, seed + 7)),
+        ):
+            if not sel.any():
+                continue
+            act = batch.filter(pa.array(sel))
+            exp = gen(nums[sel])
+            pairs += act.num_rows
+            cap_a = act["caption"].to_pylist()
+            cap_e = exp["caption"].to_pylist()
+            cap_bad += sum(x != y for x, y in zip(cap_a, cap_e))
+            meta_ok = np.ones(act.num_rows, bool)
+            for c in ("w", "h", "phash"):
+                meta_ok &= act[c].to_numpy() == exp[c].to_numpy()
+            fmt_a = act["fmt"].to_pylist()
+            fmt_e = exp["fmt"].to_pylist()
+            meta_ok &= np.array([x == y for x, y in zip(fmt_a, fmt_e)])
+            meta_bad += int((~meta_ok).sum())
+            ab = act["bytes"].to_pylist()
+            eb = exp["bytes"].to_pylist()
+            for i in np.nonzero(meta_ok)[0]:
+                try:
+                    da = decode_image(ab[i], fmt_a[i])
+                except Exception:
+                    pix_bad += 1
+                    continue
+                if ab[i] == eb[i]:
+                    continue  # decodability proven; pixels trivially equal
+                try:
+                    de = decode_image(eb[i], fmt_e[i])
+                except Exception:
+                    pix_bad += 1
+                    continue
+                if da.shape != de.shape:
+                    pix_bad += 1
+                    continue
+                p = psnr(da, de)
+                min_psnr = min(min_psnr, p)
+                ok = (da == de).all() if fmt_a[i] == "png" else p >= PSNR_THRESHOLD_DB
+                if not ok:
+                    pix_bad += 1
+        return pa.table({
+            "pairs": [pairs], "missing": [0], "unexpected": [unexpected],
+            "caption_mismatch": [cap_bad], "meta_mismatch": [meta_bad],
+            "pixel_fail": [pix_bad],
+            "min_psnr": [min_psnr if min_psnr != float("inf") else float("nan")],
+        }, schema=REPORT_SCHEMA)
+
+    nb = num_blocks or 3 * int(ray.cluster_resources().get("CPU", 8))
+    rep_ds = table.to_dataset(override_num_blocks=nb).map_batches(
+        check, batch_format="pyarrow")
+    totals = {f: 0 for f in REPORT_SCHEMA.names}
+    totals["min_psnr"] = float("inf")
+    for b in rep_ds.iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            for f in ("pairs", "unexpected", "caption_mismatch",
+                      "meta_mismatch", "pixel_fail"):
+                totals[f] += row[f]
+            if row["min_psnr"] == row["min_psnr"]:
+                totals["min_psnr"] = min(totals["min_psnr"], row["min_psnr"])
+    expected_total = _expected_total(n) if merged else n
+    totals["missing"] = max(0, expected_total - totals["pairs"])
+    totals["passed"] = (
+        totals["missing"] == 0 and totals["unexpected"] == 0
+        and totals["caption_mismatch"] == 0 and totals["meta_mismatch"] == 0
+        and totals["pixel_fail"] == 0 and totals["pairs"] == expected_total
+    )
+    if totals["min_psnr"] == float("inf"):
+        totals["min_psnr"] = None
+    return totals
+
+
+def scan_equivalence(actual_ds, expected_ds, *, num_parts: int = 16,
+                     strict: bool = False) -> dict:
     """Distributed row-by-row equivalence of two image datasets; returns the
-    aggregated report dict with ``passed`` verdict."""
+    aggregated report dict with ``passed`` verdict.  ``strict`` decodes both
+    sides of every pair (see _compare_partition)."""
 
     def tag(side):
         def fn(batch: pa.Table) -> pa.Table:
@@ -108,7 +235,9 @@ def scan_equivalence(actual_ds, expected_ds, *, num_parts: int = 16) -> dict:
     both = actual_ds.map_batches(tag(0), batch_format="pyarrow").union(
         expected_ds.map_batches(tag(1), batch_format="pyarrow")
     )
-    rep_ds = both.groupby(PART_COL).map_groups(_compare_partition, batch_format="pyarrow")
+    rep_ds = both.groupby(PART_COL).map_groups(
+        _compare_partition, fn_kwargs=dict(strict=strict), batch_format="pyarrow"
+    )
     totals = {f: 0 for f in REPORT_SCHEMA.names}
     totals["min_psnr"] = float("inf")
     for b in rep_ds.iter_batches(batch_format="pyarrow"):
