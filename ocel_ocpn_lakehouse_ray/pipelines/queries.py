@@ -281,16 +281,32 @@ def q_revenue_by_nation(sf_dir: str):
                      on=("l_orderkey",), right_on=("o_orderkey",))
     joined = broadcast_join(joined, dim, keys=["o_custkey"], right_keys=["c_custkey"])
 
+    # revenue summed in integer 10^-4 units (price 2 decimals × discount 2
+    # decimals) — order-independent → hash-exact at any parallelism
     def rev(b: pa.Table) -> pa.Table:
         r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table({"n_name": b["n_name"], "revenue_part": r})
+        return pa.table({
+            "n_name": b["n_name"],
+            "rev_c4": pc.cast(pc.round(pc.multiply(r, pa.scalar(10000.0))), pa.int64()),
+        })
 
-    return (joined.map_batches(rev, batch_format="pyarrow")
-            .groupby("n_name").aggregate(Sum("revenue_part", alias_name="revenue")))
+    agg = (joined.map_batches(rev, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("rev_c4", alias_name="rev_c4")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b["n_name"],
+            "revenue": pc.divide(pc.cast(b["rev_c4"], pa.float64()),
+                                 pa.scalar(10000.0)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 _SQL_REVENUE_BY_NATION = """
-SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -305,18 +321,43 @@ def q_event_type_stats(sf_dir: str):
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
-    return ds.groupby("event_type").aggregate(
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "ts": b["ts"],
+            "value_c": pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(100.0))),
+                               pa.int64()),
+        })
+
+    agg = ds.map_batches(cents, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
         Min("ts", alias_name="first_ts"),
         Max("ts", alias_name="last_ts"),
-        Sum("value", alias_name="total_value"),
-        Mean("value", alias_name="avg_value"),
+        Sum("value_c", alias_name="value_c"),
         Count(alias_name="n"),
     )
+
+    def finish(b: pa.Table) -> pa.Table:
+        total = pc.divide(pc.cast(b["value_c"], pa.float64()), pa.scalar(100.0))
+        return pa.table({
+            "event_type": b["event_type"],
+            "first_ts": b["first_ts"],
+            "last_ts": b["last_ts"],
+            "total_value": total,
+            "avg_value": pc.divide(total, pc.cast(b["n"], pa.float64())),
+            "n": b["n"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 _SQL_EVENT_TYPE_STATS = """
 SELECT event_type, min(ts) AS first_ts, max(ts) AS last_ts,
-       sum(value) AS total_value, avg(value) AS avg_value, count(*) AS n
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+       (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*) AS avg_value,
+       count(*) AS n
 FROM events GROUP BY event_type
 """
 
@@ -338,19 +379,33 @@ def q_daily_counts(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["ts", "value"])
 
+    # 2-decimal money sums in integer cents (order-independent → hash-exact
+    # vs the oracle at ANY parallelism; see q_pricing_summary)
     def bucket(b: pa.Table) -> pa.Table:
         return pa.table({
             "event_date": pc.strftime(b["ts"], format="%Y-%m-%d"),
-            "value": b["value"],
+            "value_c": pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(100.0))),
+                               pa.int64()),
         })
 
-    return (ds.map_batches(bucket, batch_format="pyarrow")
-            .groupby("event_date")
-            .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value")))
+    agg = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("event_date")
+           .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_date": b["event_date"],
+            "n": b["n"],
+            "total_value": pc.divide(pc.cast(b["value_c"], pa.float64()),
+                                     pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 _SQL_DAILY_COUNTS = """
-SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n, sum(value) AS total_value
+SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
 FROM events GROUP BY 1
 """
 
@@ -388,23 +443,41 @@ def q_sessionize(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min, Sum
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
-    agg = ds.groupby("user_id").aggregate(
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts": b["ts"],
+            "value_c": pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(100.0))),
+                               pa.int64()),
+        })
+
+    agg = ds.map_batches(cents, batch_format="pyarrow").groupby("user_id").aggregate(
         Min("ts", alias_name="first_ts"),
         Max("ts", alias_name="last_ts"),
         Count(alias_name="n_events"),
-        Sum("value", alias_name="total_value"),
+        Sum("value_c", alias_name="value_c"),
     )
 
     def dur(b: pa.Table) -> pa.Table:
         us = pc.cast(pc.cast(pc.subtract(b["last_ts"], b["first_ts"]), pa.int64()), pa.float64())
-        return b.append_column("duration_sec", pc.divide(us, pa.scalar(1_000_000.0)))
+        return pa.table({
+            "user_id": b["user_id"],
+            "first_ts": b["first_ts"],
+            "last_ts": b["last_ts"],
+            "n_events": b["n_events"],
+            "total_value": pc.divide(pc.cast(b["value_c"], pa.float64()),
+                                     pa.scalar(100.0)),
+            "duration_sec": pc.divide(us, pa.scalar(1_000_000.0)),
+        })
 
     return agg.map_batches(dur, batch_format="pyarrow")
 
 
 _SQL_SESSIONIZE = """
 SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
-       count(*) AS n_events, sum(value) AS total_value,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
        CAST(date_diff('microsecond', min(ts), max(ts)) / 1000000 AS DOUBLE) AS duration_sec
 FROM events GROUP BY user_id
 """

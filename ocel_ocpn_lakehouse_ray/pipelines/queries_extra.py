@@ -245,12 +245,34 @@ def q_supplier_nation(sf_dir: str):
     dim = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
     ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
     joined = broadcast_join(ds, dim, keys=["s_nationkey"], right_keys=["n_nationkey"])
-    return joined.groupby(["r_name", "n_name"]).aggregate(
-        Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_bal"))
+
+    # money sum in integer cents (order-independent; see q_pricing_summary)
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": b["r_name"],
+            "n_name": b["n_name"],
+            "bal_c": pc.cast(pc.round(pc.multiply(b["s_acctbal"], pa.scalar(100.0))),
+                             pa.int64()),
+        })
+
+    agg = joined.map_batches(cents, batch_format="pyarrow").groupby(
+        ["r_name", "n_name"]
+    ).aggregate(Count(alias_name="n_suppliers"), Sum("bal_c", alias_name="bal_c"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": b["r_name"],
+            "n_name": b["n_name"],
+            "n_suppliers": b["n_suppliers"],
+            "total_bal": pc.divide(pc.cast(b["bal_c"], pa.float64()), pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 _SQL_SUPPLIER_NATION = """
-SELECT r_name, n_name, count(*) AS n_suppliers, sum(s_acctbal) AS total_bal
+SELECT r_name, n_name, count(*) AS n_suppliers,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
@@ -261,18 +283,45 @@ def q_part_brand_stats(sf_dir: str):
     """A4 grouped mean/min/max over part attributes."""
     from ray.data.aggregate import Count, Max, Mean, Min
 
+    from ray.data.aggregate import Sum
+
     ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
-    return ds.groupby("p_brand").aggregate(
-        Mean("p_retailprice", alias_name="avg_price"),
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": b["p_brand"],
+            "p_size": pc.cast(b["p_size"], pa.int64()),
+            "price_c": pc.cast(pc.round(pc.multiply(b["p_retailprice"], pa.scalar(100.0))),
+                               pa.int64()),
+        })
+
+    agg = ds.map_batches(cents, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Sum("price_c", alias_name="price_c"),
         Min("p_size", alias_name="min_size"),
         Max("p_size", alias_name="max_size"),
         Count(alias_name="n_parts"),
     )
 
+    def finish(b: pa.Table) -> pa.Table:
+        total = pc.divide(pc.cast(b["price_c"], pa.float64()), pa.scalar(100.0))
+        return pa.table({
+            "p_brand": b["p_brand"],
+            "avg_price": pc.divide(total, pc.cast(b["n_parts"], pa.float64())),
+            "min_size": b["min_size"],
+            "max_size": b["max_size"],
+            "n_parts": b["n_parts"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
 
 _SQL_PART_BRAND_STATS = """
-SELECT p_brand, avg(p_retailprice) AS avg_price,
-       min(p_size) AS min_size, max(p_size) AS max_size, count(*) AS n_parts
+SELECT p_brand,
+       (CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+         / count(*) AS avg_price,
+       CAST(min(p_size) AS BIGINT) AS min_size,
+       CAST(max(p_size) AS BIGINT) AS max_size,
+       count(*) AS n_parts
 FROM part GROUP BY p_brand
 """
 

@@ -139,6 +139,48 @@ class DecodeAudio:
         })
 
 
+class SampleVideoFrames:
+    """STUB (no video codecs in this environment — build-brief mandated).
+    Real plumbing: binary video column in, one row per sampled frame out
+    (``image_id``, ``frame_idx:int32``, ``frame:binary`` as an encoded PNG) —
+    a flat_map-shaped 1→N expansion sized by ``every_n``-th frame.
+    ``fake=True`` synthesizes deterministic frames from the payload hash so
+    downstream decode/embed stages run end-to-end in tests.  Batch sizing
+    note: video payloads are large — callers pass a SMALL ``batch_size``
+    (frames × batch must fit the worker heap)."""
+
+    def __init__(self, fake: bool = False, num_frames: int = 4, size: int = 16):
+        self.fake = fake
+        self.num_frames = num_frames
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "video frame sampling requires a codec library not present "
+                "in this environment; construct SampleVideoFrames(fake=True) "
+                "for the deterministic stand-in"
+            )
+        import zlib
+
+        from ..functions.codec import encode_png
+
+        ids, idxs, frames = [], [], []
+        for i in range(batch.num_rows):
+            seed = zlib.crc32(batch["bytes"][i].as_py())
+            rng = np.random.Generator(np.random.PCG64(seed))
+            for f in range(self.num_frames):
+                arr = rng.integers(0, 256, (self.size, self.size, 3), dtype=np.uint8)
+                ids.append(batch["image_id"][i].as_py())
+                idxs.append(f)
+                frames.append(encode_png(arr))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
 def decode_stats_pipeline(table, *, concurrency=None, batch_size=64, num_blocks=None):
     """table → decode-stats stage (columns pruned at the read to the payload +
     metadata actually needed).

@@ -77,6 +77,23 @@ def test_audio_stub_contract():
     assert out["samples"].to_pylist() == out2["samples"].to_pylist()
 
 
+def test_video_frame_sample_stub_contract():
+    from ocel_ocpn_lakehouse_ray.functions.codec import decode_png
+    from ocel_ocpn_lakehouse_ray.stages.multimodal import SampleVideoFrames
+
+    batch = gen_batch(np.arange(2)).select(["image_id", "bytes"])
+    with pytest.raises(NotImplementedError):
+        SampleVideoFrames()(batch)
+    out = SampleVideoFrames(fake=True, num_frames=3, size=8)(batch)
+    assert out.num_rows == 2 * 3  # 1→N frame expansion
+    assert out.column_names == ["image_id", "frame_idx", "frame"]
+    # frames are real decodable PNGs and the fake is deterministic
+    arr = decode_png(out["frame"][0].as_py())
+    assert arr.shape == (8, 8, 3)
+    out2 = SampleVideoFrames(fake=True, num_frames=3, size=8)(batch)
+    assert out["frame"].to_pylist() == out2["frame"].to_pylist()
+
+
 # -------------------------------------------------------------- dedup kernels
 
 def _doc(words, n=60):
