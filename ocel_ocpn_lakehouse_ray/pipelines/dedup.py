@@ -30,7 +30,7 @@ from ..functions.text import (
     simhash64,
     word_shingles,
 )
-from .queries import _read
+from .queries import _read_wide, bucketed_groups
 
 NUM_PERM = 64
 BANDS = 16
@@ -39,7 +39,7 @@ JACCARD_THRESHOLD = 0.4
 
 def q_simhash(sf_dir: str):
     """SimHash signature per document (near-dup fingerprint family)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_wide(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -52,7 +52,7 @@ def q_simhash(sf_dir: str):
 
 def q_minhash_lsh_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs (canonical a < b, distinct)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_wide(sf_dir, "documents", columns=["doc_id", "text"])
 
     def band_rows(b: pa.Table) -> pa.Table:
         ids, keys = [], []
@@ -64,20 +64,25 @@ def q_minhash_lsh_pairs(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "band": keys})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        if not rows:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64)})
-        return pd.DataFrame(rows, columns=["a", "b"])
+        # one coarse bucket = many whole band-buckets (bucketed_groups
+        # co-locates by hash(band)); vectorized pandas groupby inside instead
+        # of one map_groups task per band key
+        out_a, out_b = [], []
+        for _, grp in g.groupby("band", sort=False):
+            ids = sorted(set(grp["doc_id"]))
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype=np.int64),
+                             "b": pd.Series(out_b, dtype=np.int64)})
 
-    pairs = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucketed_groups(
+        ds.map_batches(band_rows, batch_format="pyarrow"), "band", bucket_pairs
     )
-    # distinct pairs (a doc pair can share several bands)
-    return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
+    # distinct pairs (a doc pair can share several bands): co-locate by
+    # hash(a) — identical pairs always share a bucket — and dedup vectorized
+    return bucketed_groups(pairs, "a", lambda g: g.drop_duplicates(["a", "b"]))
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -88,9 +93,7 @@ def q_ngram_jaccard(sf_dir: str):
     on the driver and no all-texts broadcast (the round-1 shape) — the only
     data movement is the one (doc_id, shingles, band) shuffle, and shingle
     sets are ~1 uint64 per word (smaller than the text itself)."""
-    from ray.data.aggregate import Max
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_wide(sf_dir, "documents", columns=["doc_id", "text"])
 
     def band_rows(b: pa.Table) -> pa.Table:
         ids, keys, sets = [], [], []
@@ -109,25 +112,27 @@ def q_ngram_jaccard(sf_dir: str):
         })
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sets = [np.asarray(s, np.int64).view(np.uint64) for s in g["shingles"]]
+        # coarse bucket = many band-buckets (see q_minhash_lsh_pairs)
         rows_a, rows_b, rows_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = round(jaccard(sets[i], sets[j]), 6)
-                if jac >= JACCARD_THRESHOLD:
-                    rows_a.append(ids[i])
-                    rows_b.append(ids[j])
-                    rows_j.append(jac)
+        for _, grp in g.groupby("band", sort=False):
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sets = [np.asarray(s, np.int64).view(np.uint64) for s in grp["shingles"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    jac = round(jaccard(sets[i], sets[j]), 6)
+                    if jac >= JACCARD_THRESHOLD:
+                        rows_a.append(ids[i])
+                        rows_b.append(ids[j])
+                        rows_j.append(jac)
         return pd.DataFrame({"a": pd.Series(rows_a, dtype=np.int64),
                              "b": pd.Series(rows_b, dtype=np.int64),
                              "jaccard": pd.Series(rows_j, dtype=np.float64)})
 
-    pairs = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band")
-        .map_groups(bucket_verify, batch_format="pandas")
+    pairs = bucketed_groups(
+        ds.map_batches(band_rows, batch_format="pyarrow"), "band", bucket_verify
     )
-    # a pair can share several bands; jaccard is identical each time → Max
-    return pairs.groupby(["a", "b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    # a pair can share several bands; jaccard is identical each time →
+    # co-locate by hash(a) and dedup vectorized
+    return bucketed_groups(pairs, "a",
+                           lambda g: g.drop_duplicates(["a", "b"]))

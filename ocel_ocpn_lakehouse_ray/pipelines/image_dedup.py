@@ -53,22 +53,29 @@ def phash_near_dup_pairs(ds, *, bands: int = BANDS, threshold: int = HAMMING_THR
         trivially one cluster (hamming 0) and are collapsed BEFORE the
         pairwise check, so a hot phash value (thousands of identical rows in
         one bucket) costs one row, not O(n²) pairs — the round-1 quadratic
-        blowup.  Edge count is quadratic only in distinct phashes per bucket."""
-        ph = np.unique(g["phash"].to_numpy().view(np.uint64))
-        n = len(ph)
-        if n < 2:
+        blowup.  Edge count is quadratic only in distinct phashes per band
+        bucket; one coarse bucket holds many whole band buckets
+        (bucketed_groups co-locates by hash(band))."""
+        outs = []
+        for _, grp in g.groupby("band", sort=False):
+            ph = np.unique(grp["phash"].to_numpy().view(np.uint64))
+            n = len(ph)
+            if n < 2:
+                continue
+            ai, bi = np.triu_indices(n, k=1)
+            d = _popcount64(ph[ai] ^ ph[bi])
+            keep = d <= threshold
+            outs.append(pd.DataFrame({"pa": ph[ai][keep].view(np.int64),
+                                      "pb": ph[bi][keep].view(np.int64)}))
+        if not outs:
             return pd.DataFrame({"pa": pd.Series(dtype=np.int64),
                                  "pb": pd.Series(dtype=np.int64)})
-        ai, bi = np.triu_indices(n, k=1)
-        d = _popcount64(ph[ai] ^ ph[bi])
-        keep = d <= threshold
-        return pd.DataFrame({"pa": ph[ai][keep].view(np.int64),
-                             "pb": ph[bi][keep].view(np.int64)})
+        return pd.concat(outs, ignore_index=True)
 
-    edge_ds = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band")
-        .map_groups(bucket_edges, batch_format="pandas")
+    from .queries import bucketed_groups
+
+    edge_ds = bucketed_groups(
+        ds.map_batches(band_rows, batch_format="pyarrow"), "band", bucket_edges
     )
     # Union-find over the (tiny) distinct-phash edge set on the driver: edges
     # are pairs of DISTINCT phash values within the hamming threshold — far
@@ -106,28 +113,33 @@ def phash_near_dup_pairs(ds, *, bands: int = BANDS, threshold: int = HAMMING_THR
         })
 
     def cluster_rows(g: pd.DataFrame) -> pd.DataFrame:
-        """One bucket = one cluster (all rows sharing a root phash): emit
+        """One root = one cluster (all rows sharing a root phash): emit
         (representative, member, hamming-to-representative) rows, rep = min
-        image_id.  Clusters of one row produce no output (not a near-dup)."""
-        g = g.sort_values("image_id")
-        if len(g) < 2:
+        image_id.  Clusters of one row produce no output (not a near-dup).
+        One coarse bucket holds many whole clusters (co-located by
+        hash(root))."""
+        outs = []
+        for _, grp in g.groupby("root", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("image_id")
+            rep_id = grp["image_id"].iloc[0]
+            rep_ph = np.uint64(np.int64(grp["phash"].iloc[0]))
+            members = grp.iloc[1:]
+            d = _popcount64(members["phash"].to_numpy().view(np.uint64) ^ rep_ph)
+            outs.append(pd.DataFrame({
+                "representative": np.repeat(rep_id, len(members)),
+                "member": members["image_id"].to_numpy(),
+                "hamming": d.astype(np.int64),
+            }))
+        if not outs:
             return pd.DataFrame({"representative": pd.Series(dtype=object),
                                  "member": pd.Series(dtype=object),
                                  "hamming": pd.Series(dtype=np.int64)})
-        rep_id = g["image_id"].iloc[0]
-        rep_ph = np.uint64(np.int64(g["phash"].iloc[0]))
-        members = g.iloc[1:]
-        d = _popcount64(members["phash"].to_numpy().view(np.uint64) ^ rep_ph)
-        return pd.DataFrame({
-            "representative": np.repeat(rep_id, len(members)),
-            "member": members["image_id"].to_numpy(),
-            "hamming": d.astype(np.int64),
-        })
+        return pd.concat(outs, ignore_index=True)
 
-    return (
-        ds.map_batches(assign_root, batch_format="pyarrow")
-        .groupby("root")
-        .map_groups(cluster_rows, batch_format="pandas")
+    return bucketed_groups(
+        ds.map_batches(assign_root, batch_format="pyarrow"), "root", cluster_rows
     )
 
 

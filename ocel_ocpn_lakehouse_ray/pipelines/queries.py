@@ -37,6 +37,19 @@ def _read(sf_dir: str, name: str, columns=None, **kw):
     return ray.data.read_parquet(_pq(sf_dir, name), columns=columns, **kw)
 
 
+def _read_wide(sf_dir: str, name: str, columns=None, **kw):
+    """_read for CPU-HEAVY per-row stages (shingling, minhash, matmul): a
+    single-file table otherwise becomes ONE read block → one task, so the
+    map stage runs serial regardless of cluster size (parallelism is capped
+    by block count — split the read up front)."""
+    import ray
+
+    nb = kw.pop("override_num_blocks", None) or 2 * int(
+        ray.cluster_resources().get("CPU", 8)
+    )
+    return _read(sf_dir, name, columns=columns, override_num_blocks=nb, **kw)
+
+
 def _small_arrow(sf_dir: str, name: str, columns=None) -> pa.Table:
     """Driver-side read of a SMALL dimension table (broadcast side)."""
     import pyarrow.parquet as pq

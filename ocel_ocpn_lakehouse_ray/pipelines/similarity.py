@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .queries import _read, _small_arrow
+from .queries import _read_wide, _small_arrow
 
 K = 5
 N_QUERIES = 10
@@ -80,7 +80,7 @@ def q_knn_bruteforce(sf_dir: str):
     full = _small_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q_tbl = full.filter(pa.compute.less(full["vec_id"], pa.scalar(N_QUERIES)))
     q_ref = ray.put(_matrix(q_tbl))
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         _TopKScorer, fn_constructor_args=(q_ref, K),
         batch_format="pyarrow", concurrency=(1, 4),
@@ -137,7 +137,7 @@ def q_embedding_dedup_exact(sf_dir: str):
 
     corpus = _small_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ref = ray.put(_matrix(corpus))
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ds.map_batches(
         _DedupScorer, fn_constructor_args=(ref, DEDUP_THRESHOLD),
         batch_format="pyarrow", concurrency=(1, 4),
@@ -169,7 +169,7 @@ def q_embedding_dedup(sf_dir: str, *, bands: int = DEDUP_BANDS,
     Recall < 1 by construction (banded LSH) → registered rows-only; exact
     semantics are pinned by q_embedding_dedup_exact's SQL oracle and the
     recall assertion in tests."""
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     nbits = bands * band_bits
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -191,25 +191,33 @@ def q_embedding_dedup(sf_dir: str, *, bands: int = DEDUP_BANDS,
         return pa.concat_tables(out)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(g) < 2:
+        # coarse bucket = many whole LSH buckets (bucketed_groups co-locates
+        # by hash(band)); vectorized per-band cosine inside — no per-key task
+        outs = []
+        for _, grp in g.groupby("band", sort=False):
+            grp = grp.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(grp) < 2:
+                continue
+            tbl = pa.Table.from_pandas(grp[["vec_id", "embedding"]],
+                                       preserve_index=False)
+            ids, m = _matrix(tbl)
+            sims = m @ m.T
+            ai, bi = np.nonzero(
+                (np.round(sims, 6) >= threshold) & (ids[:, None] < ids[None, :])
+            )
+            outs.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+        if not outs:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
-        tbl = pa.Table.from_pandas(g[["vec_id", "embedding"]], preserve_index=False)
-        ids, m = _matrix(tbl)
-        sims = m @ m.T
-        ai, bi = np.nonzero(
-            (np.round(sims, 6) >= threshold) & (ids[:, None] < ids[None, :])
-        )
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+        return pd.concat(outs, ignore_index=True)
 
-    pairs = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from .queries import bucketed_groups
+
+    pairs = bucketed_groups(
+        ds.map_batches(band_rows, batch_format="pyarrow"), "band", bucket_pairs
     )
-    # a pair can collide in several bands → distinct
-    return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
+    # a pair can collide in several bands → distinct (co-located by hash(a))
+    return bucketed_groups(pairs, "a", lambda g: g.drop_duplicates(["a", "b"]))
 
 
 def _lsh_planes(dim: int) -> np.ndarray:
@@ -221,7 +229,7 @@ def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate nearest neighbor: random-hyperplane signature
     → bucket groupby → within-bucket exact top-1.  Approximate (no SQL
     oracle); deterministic given the fixed seed."""
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def sign(batch: pa.Table) -> pa.Table:
         ids, m = _matrix(batch)
@@ -233,23 +241,30 @@ def q_ann_lsh(sf_dir: str):
         return batch.append_column("bucket", pa.array(sig.view(np.int64)))
 
     def bucket_top1(g: pd.DataFrame) -> pd.DataFrame:
-        tbl = pa.Table.from_pandas(g[["vec_id", "embedding"]], preserve_index=False)
-        ids, m = _matrix(tbl)
-        if len(ids) < 2:
+        # coarse bucket = many whole LSH buckets; per-bucket exact top-1
+        outs = []
+        for _, grp in g.groupby("bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            tbl = pa.Table.from_pandas(grp[["vec_id", "embedding"]],
+                                       preserve_index=False)
+            ids, m = _matrix(tbl)
+            sims = m @ m.T
+            np.fill_diagonal(sims, -np.inf)
+            nn = sims.argmax(axis=1)
+            outs.append(pd.DataFrame({
+                "vec_id": ids,
+                "nn_id": ids[nn],
+                "sim": np.round(sims[np.arange(len(ids)), nn], 6),
+            }))
+        if not outs:
             return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
                                  "nn_id": pd.Series(dtype=np.int64),
                                  "sim": pd.Series(dtype=np.float64)})
-        sims = m @ m.T
-        np.fill_diagonal(sims, -np.inf)
-        nn = sims.argmax(axis=1)
-        return pd.DataFrame({
-            "vec_id": ids,
-            "nn_id": ids[nn],
-            "sim": np.round(sims[np.arange(len(ids)), nn], 6),
-        })
+        return pd.concat(outs, ignore_index=True)
 
-    return (
-        ds.map_batches(sign, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_top1, batch_format="pandas")
+    from .queries import bucketed_groups
+
+    return bucketed_groups(
+        ds.map_batches(sign, batch_format="pyarrow"), "bucket", bucket_top1
     )
