@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": similarity.q_embedding_dedup,
         "embedding_dedup_exact": similarity.q_embedding_dedup_exact,
         "ann_lsh": similarity.q_ann_lsh,
+        "ann_ivf": similarity.q_ann_ivf,
         "simhash": dedup.q_simhash,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "ngram_jaccard": dedup.q_ngram_jaccard,

@@ -220,6 +220,106 @@ def q_embedding_dedup(sf_dir: str, *, bands: int = DEDUP_BANDS,
     return bucketed_groups(pairs, "a", lambda g: g.drop_duplicates(["a", "b"]))
 
 
+IVF_CLUSTERS = 16
+IVF_NPROBE = 2
+IVF_KMEANS_ITERS = 5
+IVF_TRAIN_SAMPLE = 2048
+
+
+def _train_centroids(m: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic spherical k-means (numpy, few iterations) on normalized
+    vectors — the IVF coarse quantizer.  Trained on a SAMPLE; at 10^12 rows
+    the sample read is a stratified fragment subset like
+    clustering.sample_boundaries."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    k = min(k, len(m))
+    C = m[rng.choice(len(m), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (m @ C.T).argmax(axis=1)
+        for j in range(k):
+            sel = m[assign == j]
+            if len(sel):
+                c = sel.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def q_ann_ivf(sf_dir: str, *, k_clusters: int = IVF_CLUSTERS,
+              nprobe: int = IVF_NPROBE):
+    """IVF-bucketed approximate nearest neighbor (the inverted-file
+    alternative to q_ann_lsh): a sampled spherical-k-means coarse quantizer
+    is broadcast, every vector is emitted to its ``nprobe`` nearest-centroid
+    buckets, exact cosine top-1 runs inside each bucket, and a final
+    per-vector max over probes picks the answer.  Approximate (no SQL
+    oracle); deterministic given the fixed seed; recall vs brute-force is
+    asserted in tests."""
+    import ray
+
+    from .queries import bucketed_groups
+
+    sample = _small_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if sample.num_rows > IVF_TRAIN_SAMPLE:
+        sample = sample.slice(0, IVF_TRAIN_SAMPLE)
+    _, sm = _matrix(sample)
+    C = _train_centroids(sm, k_clusters, IVF_KMEANS_ITERS, LSH_SEED + 2)
+    c_ref = ray.put(C)
+
+    ds = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        cm = _r.get(c_ref)
+        ids, m = _matrix(batch)
+        sims = m @ cm.T                       # (n, k)
+        probes = np.argsort(-sims, axis=1)[:, :nprobe]
+        out = []
+        for p in range(nprobe):
+            out.append(pa.table({
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "bucket": pa.array(probes[:, p].astype(np.int64)),
+            }))
+        return pa.concat_tables(out)
+
+    def bucket_top1(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("bucket", sort=False):
+            grp = grp.drop_duplicates("vec_id")
+            if len(grp) < 2:
+                continue
+            tbl = pa.Table.from_pandas(grp[["vec_id", "embedding"]],
+                                       preserve_index=False)
+            ids, m = _matrix(tbl)
+            sims = m @ m.T
+            np.fill_diagonal(sims, -np.inf)
+            nn = sims.argmax(axis=1)
+            outs.append(pd.DataFrame({
+                "vec_id": ids,
+                "nn_id": ids[nn],
+                "sim": np.round(sims[np.arange(len(ids)), nn], 6),
+            }))
+        if not outs:
+            return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                 "nn_id": pd.Series(dtype=np.int64),
+                                 "sim": pd.Series(dtype=np.float64)})
+        return pd.concat(outs, ignore_index=True)
+
+    cands = bucketed_groups(
+        ds.map_batches(assign, batch_format="pyarrow"), "bucket", bucket_top1
+    )
+
+    # best-of over the nprobe buckets, per vector (ties → lowest nn_id)
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vec_id", "sim", "nn_id"],
+                          ascending=[True, False, True])
+        return g.drop_duplicates("vec_id", keep="first")
+
+    return bucketed_groups(cands, "vec_id", best)
+
+
 def _lsh_planes(dim: int) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(LSH_SEED))
     return rng.standard_normal((LSH_BITS, dim))

@@ -55,6 +55,26 @@ def test_ngram_jaccard_copartitioned_matches_driver_oracle():
     assert got_rows == expected
 
 
+def test_ann_ivf_recall_vs_bruteforce():
+    """IVF top-1 must agree with the exact brute-force top-1 for most
+    vectors (nprobe=2, 16 clusters on the clustered fixture) and be
+    deterministic."""
+    got = similarity.q_ann_ivf(SF)
+    assert isinstance(got, ray.data.Dataset)
+    rows = {r["vec_id"]: r["nn_id"] for r in got.take_all()}
+    corpus = _small_arrow(SF, "embeddings", columns=["vec_id", "embedding"])
+    ids, m = similarity._matrix(corpus)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    exact_nn = {int(ids[i]): int(ids[sims[i].argmax()]) for i in range(len(ids))}
+    covered = [v for v in rows if rows[v] == exact_nn[v]]
+    recall = len(covered) / len(rows)
+    assert recall >= 0.6, f"IVF top-1 recall {recall:.3f} too low"
+    assert len(rows) >= 0.95 * len(ids)  # nearly every vector gets an answer
+    rows2 = {r["vec_id"]: r["nn_id"] for r in similarity.q_ann_ivf(SF).take_all()}
+    assert rows == rows2  # deterministic
+
+
 def test_distinct_keys_guard_and_correctness():
     ds = ray.data.from_arrow(pa.table({"k": pa.array([3, 1, 2, 3, 1], pa.int64())}))
     keys = _distinct_keys(ds, "k", pa.int64())
