@@ -59,13 +59,45 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.reshape(len(np.atleast_1d(a)), 8), axis=1).sum(axis=1)
 
 
+def word_shingle_sets(texts: list[str], k: int = 3) -> list[np.ndarray]:
+    """k-word shingle hash sets for a BATCH of documents (sorted unique
+    uint64 each).  A shingle hash is the order-sensitive mix of its k token
+    hashes — tokens are blake2b-hashed once per DISTINCT token per batch
+    (memoized) and combined vectorized, instead of hashing every k-word
+    joined string: ~k× fewer bytes hashed and no string joins."""
+    from .hashing import mix2
+
+    memo: dict[str, int] = {}
+    out = []
+    for text in texts:
+        toks = text.split()
+        if not toks:
+            out.append(np.array([], np.uint64))
+            continue
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = memo.get(t)
+            if h is None:
+                d = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+                h = int.from_bytes(d, "little")
+                memo[t] = h
+            hs[i] = h
+        if len(toks) < k:
+            sh = hs[:1]
+            for j in range(1, len(toks)):
+                sh = mix2(sh, hs[j : j + 1])
+        else:
+            n = len(toks) - k + 1
+            sh = hs[:n]
+            for j in range(1, k):
+                sh = mix2(sh, hs[j : j + n])
+        out.append(np.unique(sh))
+    return out
+
+
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """k-word shingle hash set (sorted unique uint64)."""
-    toks = text.split()
-    if len(toks) < k:
-        return token_hashes([" ".join(toks)]) if toks else np.array([], np.uint64)
-    sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(token_hashes(sh))
+    """k-word shingle hash set (sorted unique uint64) for one document."""
+    return word_shingle_sets([text], k)[0]
 
 
 # MinHash: h_i(x) = splitmix64(x ^ seed_i); signature = min over shingles.

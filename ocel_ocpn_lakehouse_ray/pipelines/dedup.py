@@ -28,7 +28,7 @@ from ..functions.text import (
     lsh_band_keys,
     minhash_signature,
     simhash64,
-    word_shingles,
+    word_shingle_sets,
 )
 from .queries import _read_wide, bucketed_groups
 
@@ -55,9 +55,11 @@ def q_minhash_lsh_pairs(sf_dir: str):
     ds = _read_wide(sf_dir, "documents", columns=["doc_id", "text"])
 
     def band_rows(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        shingle_sets = word_shingle_sets(texts)  # batch memoized token hashes
         ids, keys = [], []
-        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            sig = minhash_signature(word_shingles(text), NUM_PERM)
+        for did, sh in zip(b["doc_id"].to_pylist(), shingle_sets):
+            sig = minhash_signature(sh, NUM_PERM)
             for k in lsh_band_keys(sig, BANDS):
                 ids.append(did)
                 keys.append(k)
@@ -96,9 +98,10 @@ def q_ngram_jaccard(sf_dir: str):
     ds = _read_wide(sf_dir, "documents", columns=["doc_id", "text"])
 
     def band_rows(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        shingle_sets = word_shingle_sets(texts)  # batch memoized token hashes
         ids, keys, sets = [], [], []
-        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            sh = word_shingles(text)
+        for did, sh in zip(b["doc_id"].to_pylist(), shingle_sets):
             sig = minhash_signature(sh, NUM_PERM)
             sh_i64 = sh.view(np.int64)
             for k in lsh_band_keys(sig, BANDS):
