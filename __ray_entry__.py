@@ -26,24 +26,14 @@ from typing import Any
 def entry() -> Any:
     """Flagship: build toy image table → compaction → Z-order clustering →
     MERGE INTO → scan-equivalence gate → return the maintained table scan."""
-    import numpy as np
-    import pyarrow as pa
-    import ray.data
-
     from ocel_ocpn_lakehouse_ray.pipelines.maintenance_queries import (
         _scale_n,
         _working_copy,
     )
-    from ocel_ocpn_lakehouse_ray.sources.generator import (
-        _update_mask,
-        gen_batch,
-        gen_update_batch,
-        merge_source_dataset,
-    )
+    from ocel_ocpn_lakehouse_ray.sources.generator import merge_source_dataset
     from ocel_ocpn_lakehouse_ray.stages.clustering import run_clustering
     from ocel_ocpn_lakehouse_ray.stages.compaction import run_compaction
     from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
-    from ocel_ocpn_lakehouse_ray.stages.verify import scan_equivalence
     from ocel_ocpn_lakehouse_ray.table import LakeTable
 
     n = _scale_n("sf0.001")
@@ -51,18 +41,22 @@ def entry() -> Any:
     t = LakeTable.load(root)
     t, _ = run_compaction(t, job_id="entry-compact")
     t, _ = run_clustering(t, order="zorder", job_id="entry-cluster")
+    pre_merge_version = t.version
     t, _ = run_merge(t, merge_source_dataset(n, num_blocks=4), job_id="entry-merge")
 
-    ids = np.arange(n)
-    upd = _update_mask(ids, 42)
-    expected = pa.concat_tables([
-        gen_batch(ids[~upd], 42),
-        gen_update_batch(ids[upd], 42),
-        gen_batch(np.arange(max(1, n // 20)) + 9 * 10**11, 49),
-    ])
-    rep = scan_equivalence(t.to_dataset(), ray.data.from_arrow(expected), num_parts=4)
+    # STRICT post-merge verification: expected rows regenerate inside each
+    # batch, every pair decoded (map-only, stages/verify.py) — plus the
+    # snapshot-isolation check on the pinned pre-merge version
+    from ocel_ocpn_lakehouse_ray.stages.verify import verify_merged_map_only
+
+    rep = verify_merged_map_only(t, n=n, num_blocks=4)
     if not rep["passed"]:
-        raise RuntimeError(f"post-maintenance scan-equivalence FAILED: {rep}")
+        raise RuntimeError(f"post-maintenance verification FAILED: {rep}")
+    srep = verify_merged_map_only(
+        LakeTable.load(root, version=pre_merge_version), n=n, num_blocks=4,
+        merged=False)
+    if not srep["passed"]:
+        raise RuntimeError(f"snapshot-isolation verification FAILED: {srep}")
     return t.to_dataset(columns=["image_id", "caption", "w", "h", "fmt", "phash"])
 
 

@@ -74,11 +74,19 @@ class _TopKScorer:
 
 
 def q_knn_bruteforce(sf_dir: str):
-    """Exact cosine top-K neighbors for the first N_QUERIES vectors."""
+    """Exact cosine top-K neighbors for the first N_QUERIES vectors.  The
+    query rows are filtered on the WORKERS (predicate map over the read) —
+    the driver receives only the N_QUERIES query vectors, never the corpus."""
     import ray
 
-    full = _small_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q_tbl = full.filter(pa.compute.less(full["vec_id"], pa.scalar(N_QUERIES)))
+    q_src = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(
+            lambda b: b.filter(pa.compute.less(b["vec_id"], pa.scalar(N_QUERIES))),
+            batch_format="pyarrow",
+        )
+    q_tbl = pa.concat_tables(
+        q_src.iter_batches(batch_format="pyarrow")
+    ).combine_chunks().sort_by("vec_id")
     q_ref = ray.put(_matrix(q_tbl))
     ds = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(

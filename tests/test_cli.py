@@ -39,6 +39,14 @@ def test_cli_full_lifecycle(tmp_path, capsys):
                      "--source-rows", "200")
     assert merged["inserts"] >= 1
 
+    vm = run_cli(capsys, "verify-merged", "--root", root, "--rows", "200")
+    assert vm["passed"] is True and vm["pairs"] == 200 + 200 // 20
+
+    # snapshot isolation: version -1 = parent of latest = pre-merge state
+    vs = run_cli(capsys, "verify-snapshot", "--root", root, "--rows", "200",
+                 "--version", "-1")
+    assert vs["passed"] is True and vs["pairs"] == 200
+
     fsck = run_cli(capsys, "fsck", "--root", root)
     assert fsck["missing"] == []
 
@@ -51,3 +59,16 @@ def test_cli_full_lifecycle(tmp_path, capsys):
     # expiry keeps only the merge version
     hist2 = run_cli(capsys, "history", "--root", root)
     assert [v["operation"] for v in hist2["versions"]] == ["merge"]
+
+
+def test_cli_ask_and_refresh_views(tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    rep = run_cli(capsys, "refresh-views", "--root", wh,
+                  "--sf-dir", "/root/testdata/sf0.001")
+    assert "dfg" in rep["last"] and "variants" in rep["last"]
+    assert rep["last"]["dfg"]["rows"] > 0
+
+    ans = run_cli(capsys, "ask", "--root", wh,
+                  "--sf-dir", "/root/testdata/sf0.001",
+                  "--question", "show the top customers")
+    assert ans["intent"] == "top_customers" and ans["rows"] == 10
