@@ -98,12 +98,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocel_ocpn_lakehouse_ray.pipelines.queries import QUERIES
     from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_QUERIES
 
-    from ocel_ocpn_lakehouse_ray.pipelines.ocpn import q_petri_arcs
+    from ocel_ocpn_lakehouse_ray.pipelines.ocpn import q_petri_arcs, q_pnml_arcs
 
     out = dict(QUERIES)
     out.update(EXTRA_QUERIES)
     out.update({
         "petri_arcs": q_petri_arcs,
+        "pnml_arcs": q_pnml_arcs,
         "variants": conformance.q_trace_variants,
         "conformance": conformance.q_conformance,
         "mv_refresh_variants": maintenance_queries.mv_refresh_variants,

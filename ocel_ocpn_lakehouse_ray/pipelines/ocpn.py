@@ -45,6 +45,35 @@ def q_petri_arcs(sf_dir: str):
     return edges.map_batches(to_arcs, batch_format="pyarrow")
 
 
+def q_pnml_arcs(sf_dir: str):
+    """PNML XML round trip (reference S8, `ingest/discover_and_store_ocpn.py:
+    36-60`): synthesize spec-shaped PNML blobs (one per DFG-scale net, sized
+    by sf), parse them DISTRIBUTED with the stdlib-ElementTree stage, and
+    explode to arc rows.  Rows-only check (XML parsing is not
+    SQL-expressible); the parse round trip is pinned exactly in
+    tests/test_pnml.py."""
+    import os
+
+    import ray.data
+
+    from ..functions.pnml import pnml_arc_rows, synth_pnml
+
+    # net count scales with the sf tier (deterministic; no external data)
+    n_nets = max(4, {"sf0.001": 4, "sf0.01": 16, "sf0.1": 64}.get(
+        os.path.basename(sf_dir.rstrip("/")), 8))
+
+    def make(batch):
+        ids = [f"net_{int(i):04d}" for i in batch["id"]]
+        blobs = [synth_pnml(nid, n_places=6, n_transitions=5, seed=7)
+                 for nid in ids]
+        return pa.table({"net_id": pa.array(ids, pa.string()),
+                         "pnml": pa.array(blobs, pa.binary())})
+
+    nets = ray.data.range(n_nets, override_num_blocks=min(n_nets, 8)).map_batches(
+        make, batch_format="numpy")
+    return nets.map_batches(pnml_arc_rows, batch_format="pyarrow")
+
+
 SQL_PETRI_ARCS = """
 WITH s AS (
   SELECT user_id, event_type,
