@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "orders_by_segment",
     "direct_follows",
     "sessionize",
+    "variants",
+    "conformance",
     "dedup_exact",
     "quality_scores",
     "minhash_lsh_pairs",

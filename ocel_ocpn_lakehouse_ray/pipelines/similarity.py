@@ -28,6 +28,26 @@ LSH_BITS = 12
 LSH_SEED = 1234
 
 
+def _head_arrow(sf_dir: str, name: str, n: int, columns=None) -> pa.Table:
+    """First ~n rows of a parquet table WITHOUT reading the whole file —
+    row groups stream until the target is reached (the IVF trainer's sample
+    read; at 10^12 rows `_small_arrow` would be a full-table driver pull)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet"))
+    batches, got = [], 0
+    for b in pf.iter_batches(batch_size=min(n, 4096), columns=columns):
+        batches.append(b)
+        got += b.num_rows
+        if got >= n:
+            break
+    tbl = pa.Table.from_batches(batches, schema=pf.schema_arrow if columns is None
+                                else None)
+    return tbl.slice(0, n)
+
+
 def _matrix(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(ids, row-normalized float64 matrix) from an embeddings Arrow table."""
     ids = tbl["vec_id"].to_numpy()
@@ -267,9 +287,8 @@ def q_ann_ivf(sf_dir: str, *, k_clusters: int = IVF_CLUSTERS,
 
     from .queries import bucketed_groups
 
-    sample = _small_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    if sample.num_rows > IVF_TRAIN_SAMPLE:
-        sample = sample.slice(0, IVF_TRAIN_SAMPLE)
+    sample = _head_arrow(sf_dir, "embeddings", IVF_TRAIN_SAMPLE,
+                         columns=["vec_id", "embedding"])
     _, sm = _matrix(sample)
     C = _train_centroids(sm, k_clusters, IVF_KMEANS_ITERS, LSH_SEED + 2)
     c_ref = ray.put(C)
