@@ -621,6 +621,65 @@ FROM orders
 """
 
 
+def q_hourly_volatility(sf_dir: str):
+    """A10 temporal bucketing + dispersion (reference cost analysis:
+    per-hour value sums + volatility, `analytics/cost_analysis.py:96-109`).
+    The sample standard deviation is computed from INTEGER cent sums
+    (sum, sum-of-squares, n) so the result is bit-exact vs the SQL oracle at
+    any parallelism — both sides evaluate the same explicit formula
+    sqrt((sumsq - sum²/n) / (n-1)) over identical integers."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "hour": pc.strftime(b["ts"], format="%H"),
+            "value_c": c,
+            "value_c2": pc.multiply(c, c),
+        })
+
+    agg = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("hour")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_c", alias_name="s1"),
+                      Sum("value_c2", alias_name="s2")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy().astype(np.float64)
+        s1 = b["s1"].to_numpy().astype(np.float64)
+        s2 = b["s2"].to_numpy().astype(np.float64)
+        var = (s2 - (s1 * s1) / n) / (n - 1.0)
+        vol = np.sqrt(np.maximum(var, 0.0)) / 100.0
+        return pa.table({
+            "hour": b["hour"],
+            "n": b["n"],
+            "total_value": pa.array(s1 / 100.0, pa.float64()),
+            "volatility": pa.array(vol, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_HOURLY_VOLATILITY = """
+WITH c AS (
+  SELECT strftime(ts, '%H') AS hour,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), s AS (
+  SELECT hour, count(*) AS n,
+         CAST(sum(value_c) AS DOUBLE) AS s1,
+         CAST(sum(value_c * value_c) AS DOUBLE) AS s2
+  FROM c GROUP BY hour
+)
+SELECT hour, n,
+       s1 / 100.0 AS total_value,
+       sqrt(greatest((s2 - (s1 * s1) / n) / (n - 1.0), 0.0)) / 100.0 AS volatility
+FROM s
+"""
+
+
 def q_cooccurrence(sf_dir: str):
     """A9: pairwise co-occurrence within a group — canonical-ordered pairs of
     event types seen for the same user (`agent/process_mining_queries.py:981-1004`)."""
@@ -856,6 +915,7 @@ QUERIES = {
     "event_type_stats": q_event_type_stats,
     "value_counts": q_value_counts,
     "daily_counts": q_daily_counts,
+    "hourly_volatility": q_hourly_volatility,
     "direct_follows": q_direct_follows,
     "sessionize": q_sessionize,
     "sequence_numbers": q_sequence_numbers,
@@ -882,6 +942,7 @@ ORACLE_SQL = {
     "event_type_stats": _SQL_EVENT_TYPE_STATS,
     "value_counts": _SQL_VALUE_COUNTS,
     "daily_counts": _SQL_DAILY_COUNTS,
+    "hourly_volatility": _SQL_HOURLY_VOLATILITY,
     "direct_follows": _SQL_DIRECT_FOLLOWS,
     "sessionize": _SQL_SESSIONIZE,
     "sequence_numbers": _SQL_SEQUENCE_NUMBERS,
