@@ -19,8 +19,26 @@ from .queries import q_direct_follows
 def q_petri_arcs(sf_dir: str):
     """Arc table of the synthesized Petri net: (source, target, kind) where
     kind says transition→place or place→transition."""
+    return _edges_to_arcs(q_direct_follows(sf_dir))
+
+
+def q_petri_arcs_filtered(sf_dir: str, *, min_frequency: int = 5):
+    """Frequency-filtered discovery variant: noise edges below
+    ``min_frequency`` are dropped before net synthesis (the reference's
+    discovery thresholds, `agent/config.yaml` discovery section)."""
     edges = q_direct_follows(sf_dir)
 
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b["n"], pa.scalar(min_frequency)))
+
+    filtered = edges.map_batches(keep, batch_format="pyarrow")
+    # reuse the arc construction by faking the edges dataset shape
+    return _edges_to_arcs(filtered)
+
+
+def _edges_to_arcs(edges):
     def to_arcs(b: pa.Table) -> pa.Table:
         src = b["src"].to_pylist()
         dst = b["dst"].to_pylist()
@@ -43,6 +61,27 @@ def q_petri_arcs(sf_dir: str):
         })
 
     return edges.map_batches(to_arcs, batch_format="pyarrow")
+
+
+# Pluggable discovery algorithms (reference extension surface §2.10,
+# `ingest/simple_ocpn_generator.py:47-52`: name → callable dict; first-class
+# here so users register their own miners).
+DISCOVERY_ALGORITHMS = {
+    "dfg": q_petri_arcs,
+    "dfg_filtered": q_petri_arcs_filtered,
+}
+
+
+def discover_petri_net(sf_dir: str, algorithm: str = "dfg", **kw):
+    """Run a registered discovery algorithm by name."""
+    try:
+        fn = DISCOVERY_ALGORITHMS[algorithm]
+    except KeyError:
+        raise ValueError(
+            f"unknown discovery algorithm {algorithm!r}; "
+            f"registered: {sorted(DISCOVERY_ALGORITHMS)}"
+        ) from None
+    return fn(sf_dir, **kw)
 
 
 def q_pnml_arcs(sf_dir: str):

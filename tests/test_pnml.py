@@ -47,6 +47,23 @@ def test_pnml_synth_is_deterministic():
     assert synth_pnml("n", 4, 3, seed=1) != synth_pnml("n", 4, 3, seed=2)
 
 
+def test_discovery_algorithm_registry():
+    from ocel_ocpn_lakehouse_ray.pipelines.ocpn import (
+        DISCOVERY_ALGORITHMS,
+        discover_petri_net,
+    )
+
+    assert set(DISCOVERY_ALGORITHMS) >= {"dfg", "dfg_filtered"}
+    full = discover_petri_net("/root/testdata/sf0.001", "dfg").to_pandas()
+    filt = discover_petri_net("/root/testdata/sf0.001", "dfg_filtered",
+                              min_frequency=10**9).to_pandas()
+    assert len(full) > 0
+    assert len(filt) == 0  # absurd threshold filters every edge
+    assert (full["frequency"] > 0).all()
+    with pytest.raises(ValueError, match="unknown discovery algorithm"):
+        discover_petri_net("/root/testdata/sf0.001", "alpha-miner-pro")
+
+
 def test_pnml_arc_rows_stage_and_registry_entry():
     import pyarrow as pa
 
