@@ -22,30 +22,43 @@ __all__ = [
     "expire_and_gc",
     "fsck",
     "scan_equivalence",
+    "verify_merged_map_only",
     "analyze_health",
+    "MaterializedView",
+    "RefreshScheduler",
+    "QueryCache",
+    "CachedQueryEngine",
+    "load_ocel_to_lakehouse",
+    "discover_petri_net",
+    "match_intent",
 ]
+
+# name → "module:attr" for the lazy public surface
+_LAZY = {
+    "create_image_table": ".sources.generator:create_image_table",
+    "run_compaction": ".stages.compaction:run_compaction",
+    "run_clustering": ".stages.clustering:run_clustering",
+    "run_merge": ".stages.merge:run_merge",
+    "expire_and_gc": ".stages.gc:expire_and_gc",
+    "fsck": ".stages.gc:fsck",
+    "scan_equivalence": ".stages.verify:scan_equivalence",
+    "verify_merged_map_only": ".stages.verify:verify_merged_map_only",
+    "analyze_health": ".stages.health:analyze_health",
+    "MaterializedView": ".pipelines.mv:MaterializedView",
+    "RefreshScheduler": ".pipelines.scheduler:RefreshScheduler",
+    "QueryCache": ".state.query_cache:QueryCache",
+    "CachedQueryEngine": ".state.query_cache:CachedQueryEngine",
+    "load_ocel_to_lakehouse": ".sources.ocel:load_ocel_to_lakehouse",
+    "discover_petri_net": ".pipelines.ocpn:discover_petri_net",
+    "match_intent": ".pipelines.nl:match_intent",
+}
 
 
 def __getattr__(name):  # lazy imports keep `import ocel_ocpn_lakehouse_ray` light
-    if name == "create_image_table":
-        from .sources.generator import create_image_table as f
-        return f
-    if name == "run_compaction":
-        from .stages.compaction import run_compaction as f
-        return f
-    if name == "run_clustering":
-        from .stages.clustering import run_clustering as f
-        return f
-    if name == "run_merge":
-        from .stages.merge import run_merge as f
-        return f
-    if name in ("expire_and_gc", "fsck"):
-        from .stages import gc as m
-        return getattr(m, name)
-    if name == "scan_equivalence":
-        from .stages.verify import scan_equivalence as f
-        return f
-    if name == "analyze_health":
-        from .stages.health import analyze_health as f
-        return f
-    raise AttributeError(name)
+    target = _LAZY.get(name)
+    if target is None:
+        raise AttributeError(name)
+    import importlib
+
+    mod_name, attr = target.split(":")
+    return getattr(importlib.import_module(mod_name, __name__), attr)
