@@ -140,17 +140,40 @@ def init_table_dirs(root: str) -> None:
     os.makedirs(os.path.join(root, JOURNAL_DIR), exist_ok=True)
 
 
+def _swap_latest(root: str, version: int) -> None:
+    """MONOTONICALLY advance _latest to ``version`` (no-op if already
+    ahead): a crashed-commit repairer racing live committers must never move
+    the pointer backwards.  Serialized by an flock on a sidecar lock file
+    (single-node; a shared object store would use a CAS on the pointer
+    object instead).  The tmp name is unique per ATTEMPT (uuid) — threads
+    share a pid and would collide on pid-based names."""
+    import fcntl
+    import uuid
+
+    with open(os.path.join(root, f".{LATEST_FILE}.lock"), "a") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            try:
+                if version <= read_latest_version(root):
+                    return
+            except (FileNotFoundError, ValueError):
+                pass  # no pointer yet (initial create)
+            tmp = os.path.join(root, f".{LATEST_FILE}.tmp.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(version))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(root, LATEST_FILE))
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
 def publish_manifest(root: str, manifest: Manifest) -> None:
     """Atomic commit: exclusive manifest create + atomic _latest swap."""
     path = manifest_path(root, manifest.version)
     with open(path, "x") as f:          # O_EXCL → optimistic-concurrency guard
         f.write(manifest.to_json())
-    tmp = os.path.join(root, f".{LATEST_FILE}.tmp.{os.getpid()}.{manifest.version}")
-    with open(tmp, "w") as f:
-        f.write(str(manifest.version))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, LATEST_FILE))
+    _swap_latest(root, manifest.version)
 
 
 class CommitConflict(RuntimeError):
@@ -222,9 +245,4 @@ def _repair_orphan_latest(root: str) -> None:
     top = versions[-1]
     if top <= latest:
         return  # normal race: the winner's swap is done or imminent
-    tmp = os.path.join(root, f".{LATEST_FILE}.repair.{os.getpid()}.{top}")
-    with open(tmp, "w") as f:
-        f.write(str(top))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, LATEST_FILE))
+    _swap_latest(root, top)
