@@ -63,7 +63,8 @@ def q_minhash_lsh_pairs(sf_dir: str):
             for k in lsh_band_keys(sig, BANDS):
                 ids.append(did)
                 keys.append(k)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()), "band": keys})
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "band": pa.array(keys, pa.string())})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # one coarse bucket = many whole band-buckets (bucketed_groups
@@ -110,7 +111,7 @@ def q_ngram_jaccard(sf_dir: str):
                 sets.append(sh_i64)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
-            "band": keys,
+            "band": pa.array(keys, pa.string()),
             "shingles": pa.array([s.tolist() for s in sets], pa.list_(pa.int64())),
         })
 

@@ -43,8 +43,8 @@ def phash_near_dup_pairs(ds, *, bands: int = BANDS, threshold: int = HAMMING_THR
             out_band.extend([f"{k}:{int(v)}" for v in band_val])
             out_ph.extend(ph.view(np.int64).tolist())
         return pa.table({
-            "image_id": out_id,
-            "band": out_band,
+            "image_id": pa.array(out_id, pa.string()),
+            "band": pa.array(out_band, pa.string()),
             "phash": pa.array(out_ph, pa.int64()),
         })
 

@@ -55,8 +55,9 @@ def _edges_to_arcs(edges):
             rows["kind"].append("p2t")
             rows["frequency"].append(f)
         return pa.table({
-            "source": rows["source"], "target": rows["target"],
-            "kind": rows["kind"],
+            "source": pa.array(rows["source"], pa.string()),
+            "target": pa.array(rows["target"], pa.string()),
+            "kind": pa.array(rows["kind"], pa.string()),
             "frequency": pa.array(rows["frequency"], pa.int64()),
         })
 

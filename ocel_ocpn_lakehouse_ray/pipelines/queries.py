@@ -836,7 +836,10 @@ def q_merge_documents(sf_dir: str):
             "doc_id": pc.add(ins["doc_id"], pa.scalar(1_000_000)),
             "text": ins["text"],
             "lang": ins["lang"],
-            "source": pa.array(["merged"] * ins.num_rows),
+            # explicit type: an EMPTY batch (block boundaries vary with CPU
+            # count) would otherwise yield a null-typed column and break the
+            # concat's schema match
+            "source": pa.array(["merged"] * ins.num_rows, pa.string()),
             "n_chars": ins["n_chars"],
         })
         return pa.concat_tables([upd, ins])

@@ -361,7 +361,7 @@ def q_hash_sample(sf_dir: str):
     def fn(b: pa.Table) -> pa.Table:
         keys = [int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16)
                 for k in b["c_custkey"].to_pylist()]
-        mask = pa.array([k < 16 for k in keys])
+        mask = pa.array([k < 16 for k in keys], pa.bool_())
         return b.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
