@@ -16,6 +16,7 @@ which stays O(100 B)/fragment); the stats dict records path + parameters.
 from __future__ import annotations
 
 import os
+import uuid
 
 import numpy as np
 
@@ -80,7 +81,9 @@ def might_contain(bits: np.ndarray, keys, k: int = NUM_HASHES) -> np.ndarray:
 
 
 def write_sidecar(path: str, bits: np.ndarray, k: int = NUM_HASHES) -> None:
-    tmp = path + f".tmp.{os.getpid()}"
+    # pid alone is not collision-safe across threads (same class of race the
+    # manifest pointer swap hit) — add a uuid component like fragments.py.
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
     with open(tmp, "wb") as f:
         f.write(MAGIC + np.uint32(k).tobytes() + bits.tobytes())
     os.replace(tmp, path)
@@ -92,4 +95,12 @@ def read_sidecar(path: str) -> tuple[np.ndarray, int]:
     if raw[:4] != MAGIC:
         raise ValueError(f"not a bloom sidecar: {path}")
     k = int(np.frombuffer(raw[4:8], np.uint32)[0])
-    return np.frombuffer(raw[8:], np.uint8), k
+    bits = np.frombuffer(raw[8:], np.uint8)
+    m_bits = len(bits) * 8
+    # The probe masks indices with (m_bits - 1); a truncated/corrupt sidecar
+    # whose bit length is not a power of two would produce FALSE NEGATIVES
+    # (wrongly pruned fragments → duplicate keys after MERGE).  Reject it so
+    # callers fall back to the conservative "touched" treatment.
+    if m_bits < MIN_BITS or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError(f"corrupt bloom sidecar (bit length {m_bits}): {path}")
+    return bits, k

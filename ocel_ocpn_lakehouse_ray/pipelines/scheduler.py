@@ -61,12 +61,12 @@ class RefreshScheduler:
         self.views[view.name] = sv
 
     def due_views(self, now: float | None = None) -> list[str]:
-        now = now or time.time()
+        now = time.time() if now is None else now
         return [name for name, sv in self.views.items() if sv.due(now)]
 
     def run_once(self, now: float | None = None) -> dict:
         """Refresh every due view; returns {view: refresh summary}."""
-        now = now or time.time()
+        now = time.time() if now is None else now
         report = {}
         for name in self.due_views(now):
             sv = self.views[name]

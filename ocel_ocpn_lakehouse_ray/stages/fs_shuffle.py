@@ -33,6 +33,9 @@ def write_partials(batch: pa.Table, *, part_col: str, work_dir: str) -> pa.Table
     """map_batches stage: split one batch by partition id, append one partial
     parquet file per partition present in the batch.  Emits (part, path) rows
     so the caller can fan reduce tasks without listing the directory."""
+    if batch.num_rows == 0:  # empty upstream block: nothing to write
+        return pa.table({"part": pa.array([], pa.int32()),
+                         "path": pa.array([], pa.string())})
     part = batch[part_col].to_numpy()
     order = np.argsort(part, kind="stable")
     sorted_part = part[order]

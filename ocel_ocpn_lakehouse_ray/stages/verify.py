@@ -18,10 +18,69 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.codec import decode_image, psnr
+from ..functions.hashing import splitmix64
 from .shuffle import PART_COL, assign_hash_part
 
 SIDE_COL = "__side"
 PSNR_THRESHOLD_DB = 40.0
+INSERT_BASE = 9 * 10**11
+_CS_SALT = np.uint64(0xA5A5A5A55A5A5A5A)  # second independent checksum stream
+_U64 = 1 << 64
+
+
+def _id_checksums(nums: np.ndarray) -> tuple[int, int]:
+    """Order-independent dual checksum of an id multiset: (sum splitmix64(id),
+    sum splitmix64(id ^ salt)) mod 2^64.  Two independent 64-bit sums give
+    ~128-bit confidence that equal-cardinality multisets with equal checksums
+    are the SAME set — so `count == expected AND checksums == expected`
+    catches a merge bug that duplicates one id while dropping another, which
+    a bare pair count cannot (the pairs stay at expected_total)."""
+    if len(nums) == 0:
+        return 0, 0
+    with np.errstate(over="ignore"):
+        c1 = int(splitmix64(nums).sum(dtype=np.uint64))
+        c2 = int(splitmix64(nums ^ _CS_SALT).sum(dtype=np.uint64))
+    return c1, c2
+
+
+def expected_domain_checksums(n: int, merged: bool) -> tuple[int, int]:
+    """Dual checksum of the EXPECTED id domain [0, n) (∪ the insert range when
+    merged).  Chunked numpy on the driver up to ~2^27 ids; beyond that the sum
+    is computed distributed (it is embarrassingly parallel and order-free), so
+    the verifier stays honest at trillion-row domains."""
+    ranges = [(0, n)]
+    if merged:
+        ranges.append((INSERT_BASE, INSERT_BASE + max(1, n // 20)))
+    total = sum(hi - lo for lo, hi in ranges)
+    if total > (1 << 27):
+        import ray
+
+        def part(b: pa.Table) -> pa.Table:
+            a = b["id"].to_numpy().astype(np.uint64)
+            c1, c2 = _id_checksums(a)
+            return pa.table({"c1": pa.array([c1], pa.uint64()),
+                             "c2": pa.array([c2], pa.uint64())})
+
+        c1 = c2 = 0
+        for lo, hi in ranges:
+            ds = ray.data.range(hi - lo).map_batches(
+                lambda b, lo=lo: pa.table(
+                    {"id": pa.array(b["id"].to_numpy().astype(np.uint64)
+                                    + np.uint64(lo), pa.uint64())}),
+                batch_format="pyarrow").map_batches(part, batch_format="pyarrow")
+            for blk in ds.iter_batches(batch_format="pyarrow"):
+                c1 = (c1 + sum(blk["c1"].to_pylist())) % _U64
+                c2 = (c2 + sum(blk["c2"].to_pylist())) % _U64
+        return c1, c2
+    c1 = c2 = 0
+    step = 1 << 22
+    for lo, hi in ranges:
+        for s in range(lo, hi, step):
+            a = np.arange(s, min(s + step, hi), dtype=np.uint64)
+            p1, p2 = _id_checksums(a)
+            c1 = (c1 + p1) % _U64
+            c2 = (c2 + p2) % _U64
+    return c1, c2
 
 REPORT_SCHEMA = pa.schema(
     [
@@ -119,15 +178,19 @@ def verify_merged_map_only(table, *, n: int, seed: int = 42,
     snapshot-isolation check: a reader pinned to a pre-maintenance version
     must still see exactly the original rows, byte-faithful.
 
-    Completeness without a join: row ids are unique and the expected id
-    domain is closed ([0, n) ∪ inserts), so `pairs == expected_total` with
-    zero unexpected rows implies zero missing rows.
+    Completeness without a join: the expected id domain is closed ([0, n) ∪
+    inserts), so zero unexpected rows + `pairs == expected_total` + the
+    order-independent id-multiset checksum matching the domain checksum
+    (see _id_checksums) together imply the surviving ids are EXACTLY the
+    expected set — uniqueness included, so a duplicate-one/drop-another
+    merge bug cannot keep the gate green.
     """
     import ray
 
     from ..sources.generator import _update_mask, gen_batch, gen_update_batch
 
-    INSERT_BASE = 9 * 10**11
+    cs_schema = pa.schema(list(REPORT_SCHEMA)
+                          + [("cs1", pa.uint64()), ("cs2", pa.uint64())])
 
     def check(batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
@@ -137,6 +200,7 @@ def verify_merged_map_only(table, *, n: int, seed: int = 42,
         n_ins_total = max(1, n // 20)
         ins_ok = merged & is_ins & (nums < np.uint64(INSERT_BASE + n_ins_total))
         unexpected = int((~(in_base | ins_ok)).sum())
+        cs1, cs2 = _id_checksums(nums[in_base | ins_ok])
         upd = np.zeros(len(nums), bool)
         if merged and in_base.any():
             upd_mask = _update_mask(nums[in_base], seed)
@@ -192,26 +256,33 @@ def verify_merged_map_only(table, *, n: int, seed: int = 42,
             "caption_mismatch": [cap_bad], "meta_mismatch": [meta_bad],
             "pixel_fail": [pix_bad],
             "min_psnr": [min_psnr if min_psnr != float("inf") else float("nan")],
-        }, schema=REPORT_SCHEMA)
+            "cs1": [cs1], "cs2": [cs2],
+        }, schema=cs_schema)
 
     nb = num_blocks or 3 * int(ray.cluster_resources().get("CPU", 8))
     rep_ds = table.to_dataset(override_num_blocks=nb).map_batches(
         check, batch_format="pyarrow")
     totals = {f: 0 for f in REPORT_SCHEMA.names}
     totals["min_psnr"] = float("inf")
+    cs1 = cs2 = 0
     for b in rep_ds.iter_batches(batch_format="pyarrow"):
         for row in b.to_pylist():
             for f in ("pairs", "unexpected", "caption_mismatch",
                       "meta_mismatch", "pixel_fail"):
                 totals[f] += row[f]
+            cs1 = (cs1 + row["cs1"]) % _U64
+            cs2 = (cs2 + row["cs2"]) % _U64
             if row["min_psnr"] == row["min_psnr"]:
                 totals["min_psnr"] = min(totals["min_psnr"], row["min_psnr"])
     expected_total = _expected_total(n) if merged else n
+    exp_cs1, exp_cs2 = expected_domain_checksums(n, merged)
     totals["missing"] = max(0, expected_total - totals["pairs"])
+    totals["id_checksum_ok"] = (cs1 == exp_cs1 and cs2 == exp_cs2)
     totals["passed"] = (
         totals["missing"] == 0 and totals["unexpected"] == 0
         and totals["caption_mismatch"] == 0 and totals["meta_mismatch"] == 0
         and totals["pixel_fail"] == 0 and totals["pairs"] == expected_total
+        and totals["id_checksum_ok"]
     )
     if totals["min_psnr"] == float("inf"):
         totals["min_psnr"] = None

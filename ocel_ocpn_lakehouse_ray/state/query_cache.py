@@ -38,7 +38,7 @@ class QueryCache:
         self.misses = 0
 
     def get(self, key: str, now: float | None = None):
-        now = now or time.time()
+        now = time.time() if now is None else now
         item = self._store.get(key)
         if item is None:
             self.misses += 1
@@ -53,7 +53,7 @@ class QueryCache:
         return value
 
     def put(self, key: str, value, now: float | None = None) -> None:
-        self._store[key] = (now or time.time(), value)
+        self._store[key] = (time.time() if now is None else now, value)
         self._store.move_to_end(key)
         while len(self._store) > self.max_entries:
             self._store.popitem(last=False)
