@@ -81,3 +81,53 @@ def test_distinct_keys_guard_and_correctness():
     assert keys.to_pylist() == [1, 2, 3]
     with pytest.raises(ValueError, match="max_driver_keys"):
         _distinct_keys(ds, "k", pa.int64(), max_driver_keys=2)
+
+
+def _sorted_rows(ds):
+    df = ds.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_semi_anti_degrade_to_copartitioned_past_key_budget(monkeypatch):
+    """VERDICT r2 #1: past the driver key budget the semi/anti queries must
+    DEGRADE to the co-partitioned shuffle join (no driver key set) and return
+    the identical result, not raise."""
+    import pandas as pd
+
+    from ocel_ocpn_lakehouse_ray.pipelines import queries_extra as qe
+
+    want_semi = _sorted_rows(qe.q_semi_join(SF))
+    want_anti = _sorted_rows(qe.q_anti_join(SF))
+    assert len(want_semi) > 0 and len(want_anti) > 0
+
+    # shrink the budget so _distinct_keys overflows immediately
+    monkeypatch.setattr(qe, "MAX_DRIVER_KEYS", 3)
+    got_semi = qe.q_semi_join(SF)
+    got_anti = qe.q_anti_join(SF)
+    assert isinstance(got_semi, ray.data.Dataset)  # still lazy/streaming
+    pd.testing.assert_frame_equal(_sorted_rows(got_semi), want_semi)
+    pd.testing.assert_frame_equal(_sorted_rows(got_anti), want_anti)
+
+
+def test_copartitioned_semi_join_direct():
+    from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import (
+        copartitioned_semi_join,
+    )
+
+    probe = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": ["a", "b", "c", "d", "e"],
+    }))
+    build = ray.data.from_arrow(pa.table({
+        "bk": pa.array([2, 2, 4, 9], pa.int64())}))
+    semi = _sorted_rows(copartitioned_semi_join(
+        probe, "k", build, "bk", output_columns=["k", "v"]))
+    assert semi["k"].tolist() == [2, 4]
+    anti = _sorted_rows(copartitioned_semi_join(
+        ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": ["a", "b", "c", "d", "e"],
+        })), "k", ray.data.from_arrow(pa.table({
+            "bk": pa.array([2, 2, 4, 9], pa.int64())})), "bk",
+        anti=True, output_columns=["k", "v"]))
+    assert anti["k"].tolist() == [1, 3, 5]
