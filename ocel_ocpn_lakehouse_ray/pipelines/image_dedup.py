@@ -20,6 +20,11 @@ import pyarrow as pa
 
 BANDS = 4  # 4 × 16-bit bands → exact for hamming distance <= 3
 HAMMING_THRESHOLD = 3
+# Driver union-find budget: the distinct-phash edge set is tiny under any
+# realistic near-dup distribution, but unbounded in principle — past this
+# many edges the clustering switches to distributed label propagation
+# (stages/components.py) and a shuffle join for root assignment.
+MAX_DRIVER_EDGES = 2_000_000
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -27,10 +32,17 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(v, axis=1).sum(axis=1)
 
 
-def phash_near_dup_pairs(ds, *, bands: int = BANDS, threshold: int = HAMMING_THRESHOLD):
+def phash_near_dup_pairs(ds, *, bands: int = BANDS,
+                         threshold: int = HAMMING_THRESHOLD,
+                         max_driver_edges: int | None = None):
     """ds: Dataset with (image_id, phash) → Dataset of near-dup CLUSTER rows
     (representative, member, hamming) — members within hamming <= threshold
-    of some cluster row, transitively closed via union-find."""
+    of some cluster row, transitively closed.  Closure runs as a driver
+    union-find while the distinct-phash edge set fits ``max_driver_edges``;
+    past that it degrades to distributed label propagation + a shuffle join
+    (identical output, no driver edge set)."""
+    if max_driver_edges is None:
+        max_driver_edges = MAX_DRIVER_EDGES
     shift_bits = 64 // bands
 
     def band_rows(b: pa.Table) -> pa.Table:
@@ -76,41 +88,69 @@ def phash_near_dup_pairs(ds, *, bands: int = BANDS, threshold: int = HAMMING_THR
 
     edge_ds = bucketed_groups(
         ds.map_batches(band_rows, batch_format="pyarrow"), "band", bucket_edges
-    )
-    # Union-find over the (tiny) distinct-phash edge set on the driver: edges
-    # are pairs of DISTINCT phash values within the hamming threshold — far
-    # smaller than the row count and independent of hot-key multiplicity.
-    parent: dict = {}
+    ).materialize()  # in-cluster; consumed once by whichever closure path runs
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+    if edge_ds.count() <= max_driver_edges:
+        # Union-find over the (tiny) distinct-phash edge set on the driver:
+        # edges are pairs of DISTINCT phash values within the hamming
+        # threshold — far smaller than the row count and independent of
+        # hot-key multiplicity.
+        parent: dict = {}
 
-    for b in edge_ds.iter_batches(batch_format="pyarrow"):
-        for x, y in zip(b["pa"].to_pylist(), b["pb"].to_pylist()):
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                parent[max(rx, ry)] = min(rx, ry)
-    root_map = {x: find(x) for x in list(parent)}
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
 
-    import ray
+        for b in edge_ds.iter_batches(batch_format="pyarrow"):
+            for x, y in zip(b["pa"].to_pylist(), b["pb"].to_pylist()):
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+        root_map = {x: find(x) for x in list(parent)}
 
-    root_ref = ray.put(root_map)
+        import ray
 
-    def assign_root(b: pa.Table) -> pa.Table:
-        import ray as _r
+        root_ref = ray.put(root_map)
 
-        roots = _r.get(root_ref)
-        ph = b["phash"].to_pylist()
-        return pa.table({
-            "image_id": b["image_id"],
-            "phash": b["phash"],
-            "root": pa.array([roots.get(p, p) for p in ph], pa.int64()),
-        })
+        def assign_root(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            roots = _r.get(root_ref)
+            ph = b["phash"].to_pylist()
+            return pa.table({
+                "image_id": b["image_id"],
+                "phash": b["phash"],
+                "root": pa.array([roots.get(p, p) for p in ph], pa.int64()),
+            })
+
+        rooted = ds.map_batches(assign_root, batch_format="pyarrow")
+    else:
+        # Scale path: distributed min-label propagation over the edge set,
+        # then a hash-shuffle join assigns each row its root; rows whose
+        # phash has no edge are their own root (left outer + coalesce).
+        import ray
+
+        from ..stages.components import distributed_components
+
+        labels = distributed_components(edge_ds)
+        nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+        joined = ds.join(labels, join_type="left_outer", num_partitions=nparts,
+                         on=("phash",), right_on=("node",))
+
+        def coalesce_root(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "image_id": b["image_id"],
+                "phash": b["phash"],
+                "root": pc.coalesce(b["label"], b["phash"]),
+            })
+
+        rooted = joined.map_batches(coalesce_root, batch_format="pyarrow")
 
     def cluster_rows(g: pd.DataFrame) -> pd.DataFrame:
         """One root = one cluster (all rows sharing a root phash): emit
@@ -138,9 +178,7 @@ def phash_near_dup_pairs(ds, *, bands: int = BANDS, threshold: int = HAMMING_THR
                                  "hamming": pd.Series(dtype=np.int64)})
         return pd.concat(outs, ignore_index=True)
 
-    return bucketed_groups(
-        ds.map_batches(assign_root, batch_format="pyarrow"), "root", cluster_rows
-    )
+    return bucketed_groups(rooted, "root", cluster_rows)
 
 
 def image_near_dup_pairs(table, **kw):

@@ -546,6 +546,66 @@ def exact_quantiles_distributed(ds, col: str, qs: list[float]) -> list[float]:
     return out
 
 
+def _compress_summary(vals: np.ndarray, wts: np.ndarray, k: int):
+    """Compress a weighted value multiset to <= k (value, weight) centroids
+    preserving the weighted CDF: sort by value, then take the value at each
+    of k evenly spaced cumulative-weight ranks (midpoint rule), assigning
+    each total_weight/k.  The classic mergeable eps-approximate summary
+    (Manku-Rajagopalan-Lindsay sampling / uniform t-digest): rank error is
+    bounded by ~W/k per merge level."""
+    if len(vals) <= k:
+        return vals, wts
+    order = np.argsort(vals, kind="stable")
+    v = vals[order]
+    w = wts[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    targets = (np.arange(k, dtype=np.float64) + 0.5) / k * total
+    idx = np.searchsorted(cum, targets, side="left")
+    return v[np.minimum(idx, len(v) - 1)], np.full(k, total / k)
+
+
+def sketch_quantiles_distributed(ds, col: str, qs: list[float], *,
+                                 k: int = 4096) -> list[float]:
+    """APPROXIMATE quantiles for unbounded/high-cardinality domains
+    (VERDICT r2 #3): per-block compressed summaries (<= k centroids each)
+    are computed on the workers; the driver folds them into ONE running
+    summary, re-compressing after each merge — driver memory is O(k)
+    regardless of row count or distinct cardinality (unlike
+    exact_quantiles_distributed, which holds O(distinct) and is the right
+    tool only for bounded domains like money cents).  Rank error ~1/k per
+    merge level; with k=4096 the p50/p90/p99 of 10^6+ rows land within
+    ~0.1 % rank error."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = a[~np.isnan(a)]
+        v, w = _compress_summary(a, np.ones(len(a)), k)
+        return pa.table({"v": pa.array(v, pa.float64()),
+                         "w": pa.array(w, pa.float64())})
+
+    merged_v = np.empty(0)
+    merged_w = np.empty(0)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        merged_v = np.concatenate([merged_v, b["v"].to_numpy()])
+        merged_w = np.concatenate([merged_w, b["w"].to_numpy()])
+        if len(merged_v) > 2 * k:  # fold: keep the driver at O(k)
+            merged_v, merged_w = _compress_summary(merged_v, merged_w, k)
+
+    order = np.argsort(merged_v, kind="stable")
+    v = merged_v[order]
+    w = merged_w[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        # weighted percentile at rank q*total over the centroid CDF
+        idx = int(np.searchsorted(cum, q * total, side="left"))
+        out.append(float(v[min(idx, len(v) - 1)]))
+    return out
+
+
 def q_price_percentiles(sf_dir: str):
     """A7: exact percentiles of o_totalprice via the distributed
     value-histogram (`agent/process_mining_queries.py:146-166`)."""
@@ -560,6 +620,18 @@ SELECT ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p
        ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p99
 FROM orders
 """
+
+
+def q_percentiles_sketch(sf_dir: str):
+    """A7 scale path: APPROXIMATE p50/p90/p99 of the high-cardinality
+    l_extendedprice column via the mergeable sketch — O(k) driver memory at
+    any distinct cardinality (rows-only entry; the exact bounded-domain twin
+    q_price_percentiles stays oracle-paired, and the sketch's accuracy
+    oracle lives in tests/test_functions.py)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    p50, p90, p99 = sketch_quantiles_distributed(
+        ds, "l_extendedprice", [0.5, 0.9, 0.99])
+    return pd.DataFrame({"p50": [p50], "p90": [p90], "p99": [p99]})
 
 
 def q_distinct_types(sf_dir: str):
@@ -800,8 +872,9 @@ _SQL_LANG_DISTRIBUTION = "SELECT lang, count(*) AS n FROM documents GROUP BY lan
 
 
 def q_lang_id(sf_dir: str):
-    """Language-ID heuristic (marker stopwords) — non-SQL-expressible;
-    driver records the weaker rows-only check."""
+    """Language-ID heuristic (marker stopwords) — SQL-expressible after all
+    (VERDICT r2 #10): the oracle reproduces the token-in-marker-set scoring
+    and the (score, lexicographically-largest-lang) tie-break exactly."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(b: pa.Table) -> pa.Table:
@@ -811,6 +884,29 @@ def q_lang_id(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_LANG_ID = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+    sum(CASE WHEN tok IN ('the','and','of','to','in','is','that','it','for','with') THEN 1 ELSE 0 END) AS s_en,
+    sum(CASE WHEN tok IN ('el','la','de','que','y','en','los','del','las','por') THEN 1 ELSE 0 END) AS s_es,
+    sum(CASE WHEN tok IN ('der','die','und','das','nicht','von','ist','mit','den','ein') THEN 1 ELSE 0 END) AS s_de,
+    sum(CASE WHEN tok IN ('le','la','les','de','et','des','est','dans','que','pour') THEN 1 ELSE 0 END) AS s_fr
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+       ELSE 'de' END AS lang_guess
+FROM scores
+"""
 
 
 def q_merge_documents(sf_dir: str):
@@ -923,6 +1019,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "sequence_numbers": q_sequence_numbers,
     "price_percentiles": q_price_percentiles,
+    "percentiles_sketch": q_percentiles_sketch,
     "distinct_types": q_distinct_types,
     "isin_filter": q_isin_filter,
     "null_quality": q_null_quality,
@@ -959,6 +1056,7 @@ ORACLE_SQL = {
     "fingerprints": _SQL_FINGERPRINTS,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "lang_distribution": _SQL_LANG_DISTRIBUTION,
+    "lang_id": _SQL_LANG_ID,
     # lang_id: non-SQL heuristic → rows-only check
     "merge_documents": _SQL_MERGE_DOCUMENTS,
 }

@@ -1,6 +1,6 @@
-"""Storage-partitioned shuffle: map tasks split batches by partition id and
-append parquet PARTIALS under ``work_dir/part=<p>/``; one reduce task per
-partition then reads exactly its partials and runs the group function.
+"""Storage-partitioned shuffle: map tasks write ONE parquet partial per task
+with one ROW GROUP per partition id present in the batch; one reduce task per
+partition then reads exactly its row groups and runs the group function.
 
 Why not Ray's groupby shuffle for the rewrite jobs?  A maintenance rewrite
 (cluster, MERGE) moves every byte of the table; routing those bytes through
@@ -13,14 +13,19 @@ partials directory lives on the shared table store (S3/HDFS), so reduce
 locality is identical — and the map and reduce stages each scale like plain
 parallel file I/O.
 
-Partials are written once per (map task, partition) pair; reduce tasks are
-plain Ray tasks (one per partition) whose group function is responsible for
-idempotence (both callers journal lineage per partition, so a retried or
-resumed reduce returns the journaled result without rewriting)."""
+File-count bound (VERDICT r2 #6): one file per MAP TASK regardless of the
+partition count — a batch's partitions become row groups inside that task's
+single file, and the manifest records (part → [(path, row_group), ...]) so
+each reduce task reads only its row groups (parquet row-group reads are
+independent seeks, the same I/O pattern as separate files without the
+metadata/inode storm at high P × many map tasks).
+
+Reduce tasks are plain Ray tasks (one per partition) whose group function is
+responsible for idempotence (both callers journal lineage per partition, so a
+retried or resumed reduce returns the journaled result without rewriting)."""
 
 from __future__ import annotations
 
-import glob
 import os
 import uuid
 
@@ -30,12 +35,14 @@ import pyarrow.parquet as pq
 
 
 def write_partials(batch: pa.Table, *, part_col: str, work_dir: str) -> pa.Table:
-    """map_batches stage: split one batch by partition id, append one partial
-    parquet file per partition present in the batch.  Emits (part, path) rows
-    so the caller can fan reduce tasks without listing the directory."""
+    """map_batches stage: sort one batch by partition id and write a SINGLE
+    parquet file with one row group per partition present.  Emits
+    (part, path, rg) rows so the caller can fan reduce tasks without listing
+    or footer-scanning the directory."""
     if batch.num_rows == 0:  # empty upstream block: nothing to write
         return pa.table({"part": pa.array([], pa.int32()),
-                         "path": pa.array([], pa.string())})
+                         "path": pa.array([], pa.string()),
+                         "rg": pa.array([], pa.int32())})
     part = batch[part_col].to_numpy()
     order = np.argsort(part, kind="stable")
     sorted_part = part[order]
@@ -43,19 +50,21 @@ def write_partials(batch: pa.Table, *, part_col: str, work_dir: str) -> pa.Table
     starts = np.concatenate([[0], bounds])
     ends = np.concatenate([bounds, [len(part)]])
     sorted_batch = batch.take(pa.array(order))
-    out_p, out_f = [], []
-    for s, e in zip(starts, ends):
-        p = int(sorted_part[s])
-        pdir = os.path.join(work_dir, f"part={p:05d}")
-        os.makedirs(pdir, exist_ok=True)
-        path = os.path.join(pdir, f"{uuid.uuid4().hex}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(sorted_batch.slice(s, e - s), tmp, compression="snappy")
-        os.replace(tmp, path)
-        out_p.append(p)
-        out_f.append(path)
+    os.makedirs(work_dir, exist_ok=True)
+    path = os.path.join(work_dir, f"{uuid.uuid4().hex}.parquet")
+    tmp = path + ".tmp"
+    out_p, out_rg = [], []
+    with pq.ParquetWriter(tmp, sorted_batch.schema, compression="snappy") as w:
+        for rg, (s, e) in enumerate(zip(starts, ends)):
+            # one write_table call = one row group (slice length < default
+            # row_group_size), addressable independently by the reducer
+            w.write_table(sorted_batch.slice(s, e - s))
+            out_p.append(int(sorted_part[s]))
+            out_rg.append(rg)
+    os.replace(tmp, path)
     return pa.table({"part": pa.array(out_p, pa.int32()),
-                     "path": pa.array(out_f, pa.string())})
+                     "path": pa.array([path] * len(out_p), pa.string()),
+                     "rg": pa.array(out_rg, pa.int32())})
 
 
 def fs_shuffle_groups(ds, *, part_col: str, work_dir: str, reduce_fn,
@@ -68,23 +77,31 @@ def fs_shuffle_groups(ds, *, part_col: str, work_dir: str, reduce_fn,
     import ray
 
     os.makedirs(work_dir, exist_ok=True)
-    manifest: dict[int, list[str]] = {}
+    manifest: dict[int, list[tuple[str, int]]] = {}
     map_ds = ds.map_batches(
         write_partials, fn_kwargs=dict(part_col=part_col, work_dir=work_dir),
         batch_format="pyarrow",
     )
     for b in map_ds.iter_batches(batch_format="pyarrow"):
-        for p, f in zip(b["part"].to_pylist(), b["path"].to_pylist()):
-            manifest.setdefault(p, []).append(f)
+        for p, f, rg in zip(b["part"].to_pylist(), b["path"].to_pylist(),
+                            b["rg"].to_pylist()):
+            manifest.setdefault(p, []).append((f, rg))
 
     fn_kwargs = fn_kwargs or {}
 
     @ray.remote(num_cpus=num_cpus_per_reduce)
-    def reduce_task(part: int, files: list[str]):
-        group = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+    def reduce_task(part: int, pieces: list[tuple[str, int]]):
+        tables = []
+        by_file: dict[str, list[int]] = {}
+        for f, rg in pieces:
+            by_file.setdefault(f, []).append(rg)
+        for f, rgs in by_file.items():
+            pf = pq.ParquetFile(f)
+            tables.append(pf.read_row_groups(sorted(rgs)))
+        group = pa.concat_tables(tables).combine_chunks()
         return reduce_fn(group, **fn_kwargs)
 
-    refs = [reduce_task.remote(p, files) for p, files in sorted(manifest.items())]
+    refs = [reduce_task.remote(p, pieces) for p, pieces in sorted(manifest.items())]
     return ray.get(refs)
 
 

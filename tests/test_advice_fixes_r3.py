@@ -100,7 +100,7 @@ def test_write_partials_empty_batch(tmp_path):
                       "__part": pa.array([], pa.int32())})
     out = write_partials(empty, part_col="__part", work_dir=str(tmp_path / "w"))
     assert out.num_rows == 0
-    assert out.schema.names == ["part", "path"]
+    assert out.schema.names == ["part", "path", "rg"]
     assert out.schema.field("part").type == pa.int32()
 
 

@@ -153,3 +153,54 @@ def test_splitmix_deterministic_and_mixing():
 def test_content_address_stable():
     assert content_address("job", "p1", "0") == content_address("job", "p1", "0")
     assert content_address("job", "p1", "0") != content_address("job", "p1", "1")
+
+
+# ---------------------------------------- mergeable quantile sketch (r3)
+
+
+def test_sketch_quantiles_high_cardinality_bounded_memory():
+    """VERDICT r2 #3: a high-cardinality double column (every value distinct)
+    must complete with O(k) driver memory and land within ~0.5% rank error
+    of the exact quantiles (the exact histogram path would hold all 200k
+    distinct values on the driver)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ocel_ocpn_lakehouse_ray.pipelines.queries import (
+        _compress_summary,
+        sketch_quantiles_distributed,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(mean=2.0, sigma=1.5, size=200_000)  # heavy tail
+    assert len(np.unique(vals)) == len(vals)
+    ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(16)
+
+    k = 2048
+    got = sketch_quantiles_distributed(ds, "x", [0.5, 0.9, 0.99], k=k)
+    srt = np.sort(vals)
+    for g, q in zip(got, [0.5, 0.9, 0.99]):
+        # rank error, not value error: find the rank of the sketch answer
+        rank = np.searchsorted(srt, g) / len(srt)
+        assert abs(rank - q) < 0.005, f"q={q}: rank {rank:.4f}"
+
+    # the compression primitive honors its size bound (driver holds <= 2k
+    # centroids between folds)
+    v, w = _compress_summary(vals, np.ones(len(vals)), k)
+    assert len(v) == k and np.isclose(w.sum(), len(vals))
+
+
+def test_sketch_quantiles_exact_on_small_input():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ocel_ocpn_lakehouse_ray.pipelines.queries import (
+        sketch_quantiles_distributed,
+    )
+
+    vals = np.arange(100, dtype=np.float64)
+    ds = ray.data.from_arrow(pa.table({"x": vals}))
+    [p50] = sketch_quantiles_distributed(ds, "x", [0.5], k=4096)
+    assert abs(p50 - 50.0) <= 1.0  # no compression happened; nearest rank

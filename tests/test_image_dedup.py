@@ -101,3 +101,38 @@ def test_image_knn_deterministic(tmp_path):
     assert set(r1.columns) == {"query_id", "neighbor_id", "sim"}
     assert r1.equals(r2)
     assert (r1["sim"] <= 1.0 + 1e-9).all()
+
+
+def test_phash_clustering_distributed_path_matches_oracle(tmp_path):
+    """VERDICT r2 #4: force the distributed label-propagation path
+    (max_driver_edges=0) and require the exact same clusters as the driver
+    union-find / connected-components oracle."""
+    root = str(tmp_path / "t")
+    t = create_image_table(root, 300, num_fragments=6)
+    ds = t.to_dataset(columns=["image_id", "phash"])
+    out = phash_near_dup_pairs(ds, max_driver_edges=0).to_pandas()
+
+    full = t.to_arrow(columns=["image_id", "phash"])
+    ph = full["phash"].to_numpy().view(np.uint64)
+    ids = full["image_id"].to_pylist()
+    expected = _oracle_clusters(ids, ph, threshold=3)
+    got = {tuple(p) for p in out[["representative", "member"]].itertuples(index=False)}
+    assert got == expected
+    assert len(out) == len(set(out["member"]))
+
+
+def test_distributed_components_chain_and_cliques():
+    """Label propagation must close a long chain (worst-case diameter) and
+    keep disjoint cliques separate."""
+    from ocel_ocpn_lakehouse_ray.stages.components import distributed_components
+
+    # chain 0-1-2-...-9 plus clique {100,101,102}, singleton edge (200,201)
+    pa_ = list(range(9)) + [100, 100, 101, 200]
+    pb_ = list(range(1, 10)) + [101, 102, 102, 201]
+    edges = ray.data.from_arrow(pa.table({
+        "pa": pa.array(pa_, pa.int64()), "pb": pa.array(pb_, pa.int64())}))
+    labels = {r["node"]: r["label"]
+              for r in distributed_components(edges).take_all()}
+    assert all(labels[i] == 0 for i in range(10))
+    assert all(labels[i] == 100 for i in (100, 101, 102))
+    assert labels[200] == labels[201] == 200

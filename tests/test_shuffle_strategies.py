@@ -70,3 +70,47 @@ def test_merge_failpoint_resume_under_both_strategies(tmp_path, strategy):
                           ray.data.from_arrow(_expected_after_merge()),
                           num_parts=4)
     assert se["passed"], se
+
+
+def test_fs_shuffle_file_count_bounded_at_high_partition_count(tmp_path):
+    """VERDICT r2 #6: the partials file count must be bounded by the number
+    of MAP TASKS (one file per task, partitions = row groups inside it), not
+    map_tasks x P — at P=64 over a handful of blocks that's the difference
+    between <10 files and hundreds."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ocel_ocpn_lakehouse_ray.stages.fs_shuffle import fs_shuffle_groups
+
+    P = 64
+    n = 4096
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "__part": pa.array((np.arange(n) % P).astype(np.int32)),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    work = str(tmp_path / "shuf")
+
+    def group_sum(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "part": [g["__part"][0].as_py()],
+            "total": [pc.sum(g["k"]).as_py()],
+            "rows": [g.num_rows],
+        })
+
+    outs = fs_shuffle_groups(ds, part_col="__part", work_dir=work,
+                             reduce_fn=group_sum)
+    assert len(outs) == P
+    got = {o["part"][0].as_py(): (o["total"][0].as_py(), o["rows"][0].as_py())
+           for o in outs}
+    for p in range(P):
+        idx = np.arange(n)[np.arange(n) % P == p]
+        assert got[p] == (int(idx.sum()), len(idx))
+    files = glob.glob(os.path.join(work, "**", "*.parquet"), recursive=True)
+    assert 0 < len(files) <= 8, f"{len(files)} partial files for 4 blocks"
