@@ -25,8 +25,8 @@ import pyarrow as pa
 
 from ..functions.text import (
     jaccard,
-    lsh_band_keys,
-    minhash_signature,
+    lsh_band_keys_batch,
+    minhash_signatures,
     simhash64,
     word_shingle_sets,
 )
@@ -57,14 +57,13 @@ def q_minhash_lsh_pairs(sf_dir: str):
     def band_rows(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
         shingle_sets = word_shingle_sets(texts)  # batch memoized token hashes
-        ids, keys = [], []
-        for did, sh in zip(b["doc_id"].to_pylist(), shingle_sets):
-            sig = minhash_signature(sh, NUM_PERM)
-            for k in lsh_band_keys(sig, BANDS):
-                ids.append(did)
-                keys.append(k)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "band": pa.array(keys, pa.string())})
+        sigs = minhash_signatures(shingle_sets, NUM_PERM)  # one segment-min pass
+        keys = lsh_band_keys_batch(sigs, BANDS)            # (ndocs, BANDS) int64
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, BANDS), pa.int64()),
+            "band": pa.array(keys.reshape(-1), pa.int64()),
+        })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # one coarse bucket = many whole band-buckets (bucketed_groups
@@ -101,18 +100,23 @@ def q_ngram_jaccard(sf_dir: str):
     def band_rows(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
         shingle_sets = word_shingle_sets(texts)  # batch memoized token hashes
-        ids, keys, sets = [], [], []
-        for did, sh in zip(b["doc_id"].to_pylist(), shingle_sets):
-            sig = minhash_signature(sh, NUM_PERM)
-            sh_i64 = sh.view(np.int64)
-            for k in lsh_band_keys(sig, BANDS):
-                ids.append(did)
-                keys.append(k)
-                sets.append(sh_i64)
+        sigs = minhash_signatures(shingle_sets, NUM_PERM)
+        keys = lsh_band_keys_batch(sigs, BANDS)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        # shingle ListArray built once from offsets+values, then repeated
+        # per band via take (no per-row python list copies)
+        lens = np.fromiter((len(s) for s in shingle_sets), np.int64,
+                           len(shingle_sets))
+        values = (np.concatenate(shingle_sets) if lens.sum()
+                  else np.array([], np.uint64)).view(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        sh_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                          pa.array(values, pa.int64()))
+        rep_idx = pa.array(np.repeat(np.arange(len(ids)), BANDS))
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "band": pa.array(keys, pa.string()),
-            "shingles": pa.array([s.tolist() for s in sets], pa.list_(pa.int64())),
+            "doc_id": pa.array(np.repeat(ids, BANDS), pa.int64()),
+            "band": pa.array(keys.reshape(-1), pa.int64()),
+            "shingles": sh_arr.take(rep_idx),
         })
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:

@@ -139,3 +139,49 @@ def test_entry_flagship_runs():
     n = ds.count()
     assert n == 420  # 400 base − 0 lost + 20 inserts
     assert set(ds.schema().names) == {"image_id", "caption", "w", "h", "fmt", "phash"}
+
+
+def test_minhash_batch_matches_per_doc():
+    """minhash_signatures (vectorized segment-min) must produce EXACTLY the
+    per-doc minhash_signature output, including empty docs, across chunk
+    boundaries (tiny chunk_elems forces multiple folds)."""
+    from ocel_ocpn_lakehouse_ray.functions.text import (
+        minhash_signature,
+        minhash_signatures,
+        word_shingle_sets,
+    )
+
+    texts = [_doc([]), "", _doc([(5, "x")]), "one two",
+             " ".join(f"tok{i}" for i in range(200))]
+    sets = word_shingle_sets(texts)
+    batch = minhash_signatures(sets, 64)
+    for i, s in enumerate(sets):
+        assert (batch[i] == minhash_signature(s, 64)).all(), i
+
+
+def test_lsh_band_keys_batch_buckets_like_string_version():
+    from ocel_ocpn_lakehouse_ray.functions.text import (
+        lsh_band_keys,
+        lsh_band_keys_batch,
+        minhash_signatures,
+        word_shingle_sets,
+    )
+
+    near_a, near_b = _doc([]), _doc([(10, "x")])
+    far = " ".join(f"tok{i}" for i in range(60))
+    sets = word_shingle_sets([near_a, near_b, far])
+    sigs = minhash_signatures(sets, 64)
+    keys = lsh_band_keys_batch(sigs, 16)
+    assert keys.shape == (3, 16)
+    # same-band-position chunk equality must match the string keys exactly
+    import numpy as np
+
+    str_keys = [lsh_band_keys(sigs[i], 16) for i in range(3)]
+    for i in range(3):
+        for j in range(3):
+            int_shared = (keys[i] == keys[j])
+            str_shared = np.array([a == b for a, b in
+                                   zip(str_keys[i], str_keys[j])])
+            assert (int_shared == str_shared).all(), (i, j)
+    assert set(keys[0]) & set(keys[1]), "near-dup pair missed"
+    assert not set(keys[0]) & set(keys[2]), "far pair bucketed together"
