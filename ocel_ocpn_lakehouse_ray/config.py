@@ -51,6 +51,12 @@ class TableConfig:
     # rewrite-job shuffle: "fs" = storage-partitioned partials (external-
     # shuffle pattern, stages/fs_shuffle.py); "ray" = object-store groupby
     shuffle_strategy: str = "fs"
+    # MERGE physical plan: "cow" (default) = copy-on-write per-fragment
+    # rewrite, only source rows shuffle (stages/merge_cow.py — ~2T+3s bytes
+    # through storage vs the co-group's ~4T; measured 1.4× faster at 16 CPUs
+    # and 1.9× 4→16 scaling vs 1.15×); "shuffle" = hash co-group of touched
+    # fragments + source (stages/merge.py).  Env GRAFT_MERGE wins.
+    merge_strategy: str = "cow"
     retention_keep_last: int = 10        # manifests kept by snapshot expiry (>=1)
     retention_max_age_days: float = SNAPSHOT_OLD_DAYS
     skew_alarm_ratio: float = SKEW_ALARM_RATIO

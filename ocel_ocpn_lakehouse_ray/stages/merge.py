@@ -204,6 +204,7 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
     cfg = table.config
     job_id = job_id or f"merge-v{table.version}"
     t0 = time.time()
+    ph = {}  # per-phase seconds (stage_source / plan / shuffle / commit)
 
     # STAGE THE SOURCE: run the source pipeline exactly once, writing it as
     # parquet (tagged __side=1) into the job's journal area.  Both sides then
@@ -230,6 +231,7 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
     src_files = sorted(
         p for p in glob.glob(os.path.join(src_dir, "*.parquet"))
     )
+    ph["stage_source"] = round(time.time() - t0, 3)
 
     meta = lineage.load_job_meta(table.root, job_id)
     if meta is None:
@@ -263,6 +265,7 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
         meta = {"touched": touched_ids, "num_parts": P,
                 "source_rows": int(src_rows), "base_version": table.version}
         lineage.write_job_meta(table.root, job_id, meta)
+    ph["plan"] = round(time.time() - t0 - sum(ph.values()), 3)
     touched_set = set(meta["touched"])
     P = meta["num_parts"]
     touched = [f for f in table.fragments if f.fragment_id in touched_set]
@@ -288,8 +291,17 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
     reduce_kwargs = dict(root=table.root, job_id=job_id,
                          target_bytes=cfg.target_fragment_bytes, failpoint=failpoint)
     add = []
+    merge_mode = os.environ.get("GRAFT_MERGE", getattr(cfg, "merge_strategy", "shuffle"))
     strategy = os.environ.get("GRAFT_SHUFFLE", cfg.shuffle_strategy)
-    if strategy == "fs":
+    if merge_mode == "cow":
+        # copy-on-write: only SOURCE rows shuffle; fragments are rewritten in
+        # place by per-fragment tasks (stages/merge_cow.py — halves the bytes
+        # through storage vs the hash co-group on the touched set)
+        from .merge_cow import cow_merge
+
+        cow_merge(table, src_files, touched, job_id=job_id,
+                  target_bytes=cfg.target_fragment_bytes, failpoint=failpoint)
+    elif strategy == "fs":
         # storage-partitioned shuffle (see stages/fs_shuffle.py and the same
         # block in clustering.py); completed partitions short-circuit via
         # their lineage records inside _merge_partition.
@@ -311,7 +323,15 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
         )
         for b in meta_ds.iter_batches(batch_format="pyarrow"):
             add.extend(batch_to_metas(b))
+    ph["shuffle"] = round(time.time() - t0 - sum(ph.values()), 3)
     records = lineage.load_records(table.root, job_id)
+    if merge_mode == "cow":
+        # only fragments ACTUALLY rewritten leave the manifest: a fragment
+        # planned as touched but receiving no routed source rows (possible
+        # only if planning and routing filters ever disagree) passes through
+        # unchanged instead of being dropped with no replacement
+        touched_set = {rec.frags_in[0] for rec in records.values()
+                       if rec.partition_id.startswith("cow-frag-")}
     by_id = {m.fragment_id: m for rec in records.values() for m in rec.out_metas()}
     add = list(by_id.values())
     rows = sum(rec.rows for rec in records.values())
@@ -327,6 +347,8 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
                  "rows": rows, "updates": updates, "inserts": inserts,
                  "seconds": round(elapsed, 3)},
     )
+    ph["commit"] = round(time.time() - t0 - sum(ph.values()), 3)
     report = dict(new_table.manifest.summary)
     report["rows_per_sec"] = round(rows / elapsed, 1) if elapsed > 0 else None
+    report["phase_seconds"] = ph
     return new_table, report

@@ -30,6 +30,9 @@ N = 200
 @pytest.fixture(params=["fs", "ray"])
 def strategy(request, monkeypatch):
     monkeypatch.setenv("GRAFT_SHUFFLE", request.param)
+    # pin the merge plan to the hash co-group: these tests exercise the
+    # SHUFFLE strategies, which the cow default would bypass for merges
+    monkeypatch.setenv("GRAFT_MERGE", "shuffle")
     return request.param
 
 
@@ -114,3 +117,57 @@ def test_fs_shuffle_file_count_bounded_at_high_partition_count(tmp_path):
         assert got[p] == (int(idx.sum()), len(idx))
     files = glob.glob(os.path.join(work, "**", "*.parquet"), recursive=True)
     assert 0 < len(files) <= 8, f"{len(files)} partial files for 4 blocks"
+
+
+@pytest.mark.parametrize("mode", ["shuffle", "cow"])
+def test_merge_strategies_equivalent_and_resumable(tmp_path, mode, monkeypatch):
+    """Both MERGE physical plans (hash co-group vs copy-on-write) must yield
+    the identical post-merge table and survive a failpoint resume."""
+    import numpy as np
+
+    from ocel_ocpn_lakehouse_ray.sources.generator import (
+        create_image_table,
+        merge_source_dataset,
+    )
+    from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
+    from ocel_ocpn_lakehouse_ray.stages.verify import verify_merged_map_only
+
+    monkeypatch.setenv("GRAFT_MERGE", mode)
+    root = str(tmp_path / mode)
+    t = create_image_table(root, 300, num_fragments=8, seed=42)
+    with pytest.raises(RuntimeError, match="failpoint"):
+        run_merge(t, merge_source_dataset(300, seed=42, num_blocks=2),
+                  job_id=f"ms-{mode}", failpoint=1)
+    # resume: journaled partitions skip, the rest complete
+    t2, rep = run_merge(t, merge_source_dataset(300, seed=42, num_blocks=2),
+                        job_id=f"ms-{mode}")
+    assert rep["updates"] > 0 and rep["inserts"] == 300 // 20
+    vr = verify_merged_map_only(t2, n=300, seed=42, num_blocks=4)
+    assert vr["passed"] and vr["id_checksum_ok"], vr
+    ids = t2.to_arrow(columns=["image_id"])["image_id"].to_pylist()
+    assert len(ids) == len(set(ids)) == 300 + 300 // 20
+
+
+def test_cow_merge_pure_insert_keeps_fragments(tmp_path, monkeypatch):
+    """COW + fully-disjoint source: every fragment is untouched (no rewrite
+    records), rows are added exactly once."""
+    import numpy as np
+
+    from ocel_ocpn_lakehouse_ray.config import TableConfig
+    from ocel_ocpn_lakehouse_ray.sources.generator import gen_batch
+    from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
+    from ocel_ocpn_lakehouse_ray.table import IMAGE_SCHEMA, LakeTable
+
+    import ray.data
+
+    monkeypatch.setenv("GRAFT_MERGE", "cow")
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, IMAGE_SCHEMA, TableConfig(target_fragment_bytes=1 << 20))
+    t = t.append_arrow(gen_batch(np.arange(200), 42), name_parts=("seed", "0"))
+    src = ray.data.from_arrow(gen_batch(np.arange(20) + 5 * 10**12, 42 + 1))
+    t2, rep = run_merge(t, src, job_id="cow-pure-insert", num_partitions=2)
+    assert rep["touched_fragments"] == 0
+    assert rep["inserts"] == 20 and rep["updates"] == 0
+    assert t2.manifest.total_rows == 220
+    ids = t2.to_arrow(columns=["image_id"])["image_id"].to_pylist()
+    assert len(ids) == len(set(ids)) == 220
