@@ -51,12 +51,17 @@ class TableConfig:
     # rewrite-job shuffle: "fs" = storage-partitioned partials (external-
     # shuffle pattern, stages/fs_shuffle.py); "ray" = object-store groupby
     shuffle_strategy: str = "fs"
-    # MERGE physical plan: "cow" (default) = copy-on-write per-fragment
-    # rewrite, only source rows shuffle (stages/merge_cow.py — ~2T+3s bytes
-    # through storage vs the co-group's ~4T; measured 1.4× faster at 16 CPUs
-    # and 1.9× 4→16 scaling vs 1.15×); "shuffle" = hash co-group of touched
-    # fragments + source (stages/merge.py).  Env GRAFT_MERGE wins.
-    merge_strategy: str = "cow"
+    # MERGE physical plan: "shuffle" (default) = hash co-group of touched
+    # fragments + source (stages/merge.py); "cow" = copy-on-write
+    # per-fragment rewrite, only source rows shuffle (stages/merge_cow.py —
+    # fewer bytes through the exchange, but its extra Dataset ops (route +
+    # matched-key anti-join + insert groupby) cost more than the saved copy
+    # at bench scale once payload columns stopped being recompressed
+    # (fragments.column_compression): measured shuffle 3.1s vs cow 6.8s for
+    # the exchange at 16 CPUs.  cow remains the right shape when the touched
+    # set is huge and the exchange fabric (not per-op latency) is the
+    # bottleneck.  Env GRAFT_MERGE wins.
+    merge_strategy: str = "shuffle"
     retention_keep_last: int = 10        # manifests kept by snapshot expiry (>=1)
     retention_max_age_days: float = SNAPSHOT_OLD_DAYS
     skew_alarm_ratio: float = SKEW_ALARM_RATIO

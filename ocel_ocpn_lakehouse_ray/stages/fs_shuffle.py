@@ -54,7 +54,10 @@ def write_partials(batch: pa.Table, *, part_col: str, work_dir: str) -> pa.Table
     path = os.path.join(work_dir, f"{uuid.uuid4().hex}.parquet")
     tmp = path + ".tmp"
     out_p, out_rg = [], []
-    with pq.ParquetWriter(tmp, sorted_batch.schema, compression="snappy") as w:
+    from ..sources.fragments import column_compression
+
+    with pq.ParquetWriter(tmp, sorted_batch.schema,
+                          compression=column_compression(sorted_batch.schema)) as w:
         for rg, (s, e) in enumerate(zip(starts, ends)):
             # one write_table call = one row group (slice length < default
             # row_group_size), addressable independently by the reducer

@@ -225,7 +225,12 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
                 SIDE_COL, pa.array(np.full(batch.num_rows, 1, np.int8))
             )
 
-        source_ds.map_batches(tag_src, batch_format="pyarrow").write_parquet(src_dir)
+        from ..sources.fragments import column_compression
+
+        source_ds.map_batches(tag_src, batch_format="pyarrow").write_parquet(
+            src_dir,
+            compression=column_compression(
+                table.schema.append(pa.field(SIDE_COL, pa.int8()))))
         with open(marker, "w") as f:
             f.write("ok")
     src_files = sorted(
