@@ -31,7 +31,7 @@ from ..state import manifest as mf
 def expire_snapshots(root: str, *, keep_last: int, max_age_days: float | None = None,
                      now: float | None = None) -> dict:
     """Drop manifests beyond the retention policy; returns a report."""
-    now = now or time.time()
+    now = time.time() if now is None else now
     versions = mf.list_manifest_versions(root)
     current = mf.read_latest_version(root)
     keep_last = max(1, keep_last)
@@ -87,7 +87,7 @@ def garbage_collect(root: str, *, delete_orphans: bool = True,
                     orphan_grace_seconds: float = 3600.0,
                     now: float | None = None) -> dict:
     """Delete data files unreachable from any retained manifest."""
-    now = now or time.time()
+    now = time.time() if now is None else now
     live = reachable_fragments(root)
     data_dir = os.path.join(root, mf.DATA_DIR)
     deleted, kept_grace = [], []
@@ -118,7 +118,7 @@ def cleanup_journal(root: str, *, max_age_days: float = 7.0,
     journal/<job>/source included)."""
     import shutil
 
-    now = now or time.time()
+    now = time.time() if now is None else now
     jroot = os.path.join(root, mf.JOURNAL_DIR)
     removed, kept = [], []
     if not os.path.isdir(jroot):

@@ -103,7 +103,7 @@ def estimate_compaction(fragments, target_bytes: int) -> dict:
 
 def analyze_retention(manifests, *, now: float | None = None) -> dict:
     """A15: snapshot ages vs the 30/90-day thresholds + expiry recommendation."""
-    now = now or time.time()
+    now = time.time() if now is None else now
     ages_days = [(now - m.created_at) / 86400.0 for m in manifests]
     old = sum(1 for a in ages_days if a > C.SNAPSHOT_OLD_DAYS)
     very_old = sum(1 for a in ages_days if a > C.SNAPSHOT_VERY_OLD_DAYS)

@@ -236,7 +236,28 @@ def cow_merge(table, src_files: list[str], touched, *, job_id: str,
     src_ds = ray.data.read_parquet(src_files).map_batches(
         lambda b: b.drop_columns(["__side"]) if "__side" in b.column_names else b,
         batch_format="pyarrow")
-    if matched_files:
+    max_bcast = int(os.environ.get("GRAFT_COW_BCAST_KEYS", "2000000"))
+    n_matched = sum(pq.ParquetFile(p).metadata.num_rows for p in matched_files)
+    if not matched_files:
+        inserts = src_ds
+    elif n_matched <= max_bcast:
+        # matched-key set is small (bounded by the update count, known from
+        # the sidecar footers without reading them): broadcast it once and
+        # anti-filter the source map-only — two shuffles cheaper than the
+        # general join below, and the fixed Dataset-op latency it avoids is
+        # exactly what kept cow's exchange slower than the hash co-group at
+        # bench scale.
+        matched_tbl = pa.concat_tables(
+            [pq.read_table(p) for p in matched_files])
+        matched_ref = ray.put(matched_tbl["image_id"].combine_chunks())
+
+        def anti(batch: pa.Table) -> pa.Table:
+            keys = ray.get(matched_ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch["image_id"], value_set=keys)))
+
+        inserts = src_ds.map_batches(anti, batch_format="pyarrow")
+    else:
         from ray.data.aggregate import Count
 
         matched_ds = (ray.data.read_parquet(matched_files)
@@ -247,8 +268,6 @@ def cow_merge(table, src_files: list[str], touched, *, job_id: str,
         inserts = joined.map_batches(
             lambda b: b.filter(pc.is_null(b["__m"])).drop_columns(["__m"]),
             batch_format="pyarrow")
-    else:
-        inserts = src_ds
 
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     p_ins = num_insert_parts or max(1, min(8, n_cpus // 2))

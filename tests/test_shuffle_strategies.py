@@ -171,3 +171,29 @@ def test_cow_merge_pure_insert_keeps_fragments(tmp_path, monkeypatch):
     assert t2.manifest.total_rows == 220
     ids = t2.to_arrow(columns=["image_id"])["image_id"].to_pylist()
     assert len(ids) == len(set(ids)) == 220
+
+
+def test_cow_insert_pass_join_fallback_matches_broadcast(tmp_path, monkeypatch):
+    """The insert pass has two physical plans: broadcast anti-filter (matched
+    keys under GRAFT_COW_BCAST_KEYS) and the distributed left-outer join.
+    Forcing the join path (cap=0) must produce the identical table."""
+    import numpy as np
+
+    from ocel_ocpn_lakehouse_ray.sources.generator import (
+        create_image_table,
+        merge_source_dataset,
+    )
+    from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
+    from ocel_ocpn_lakehouse_ray.stages.verify import verify_merged_map_only
+
+    monkeypatch.setenv("GRAFT_MERGE", "cow")
+    monkeypatch.setenv("GRAFT_COW_BCAST_KEYS", "0")
+    root = str(tmp_path / "t")
+    t = create_image_table(root, 300, num_fragments=8, seed=42)
+    t2, rep = run_merge(t, merge_source_dataset(300, seed=42, num_blocks=2),
+                        job_id="cow-joinpath")
+    assert rep["updates"] > 0 and rep["inserts"] == 300 // 20
+    vr = verify_merged_map_only(t2, n=300, seed=42, num_blocks=4)
+    assert vr["passed"] and vr["id_checksum_ok"], vr
+    ids = t2.to_arrow(columns=["image_id"])["image_id"].to_pylist()
+    assert len(ids) == len(set(ids)) == 300 + 300 // 20
