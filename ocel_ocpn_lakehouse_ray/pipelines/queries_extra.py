@@ -272,10 +272,14 @@ def q_json_extract(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "props"])
 
     def fn(b: pa.Table) -> pa.Table:
-        ks = np.fromiter(
-            (json.loads(p)["k"] for p in b["props"].to_pylist()),
-            dtype=np.int64, count=b.num_rows,
-        )
+        try:  # vectorized Rust JSON-path kernel (events is fact-table scale)
+            import polars as pl
+
+            ks = (pl.from_arrow(b["props"].combine_chunks())
+                  .str.json_path_match("$.k").cast(pl.Int64).to_arrow())
+        except Exception:  # fallback: per-row stdlib parse
+            ks = pa.array((json.loads(p)["k"] for p in b["props"].to_pylist()),
+                          pa.int64())
         return pa.table({"event_id": b["event_id"], "k": ks})
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -429,9 +433,11 @@ def q_hash_sample(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     def fn(b: pa.Table) -> pa.Table:
-        keys = [int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16)
-                for k in b["c_custkey"].to_pylist()]
-        mask = pa.array([k < 16 for k in keys], pa.bool_())
+        # md5 has no vectorized kernel; digest()[0] IS the first two hex
+        # chars as an int, skipping hexdigest+parse.  Dimension-scale only.
+        md5 = hashlib.md5
+        mask = pa.array([md5(str(k).encode()).digest()[0] < 16
+                         for k in b["c_custkey"].to_pylist()], pa.bool_())
         return b.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")

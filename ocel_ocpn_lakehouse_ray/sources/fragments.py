@@ -82,6 +82,24 @@ def column_compression(schema: pa.Schema) -> dict[str, str]:
     }
 
 
+TARGET_ROW_GROUP_BYTES = 4 << 20  # ~4 MB row groups inside each fragment
+
+
+def _row_group_size(tbl: pa.Table) -> int:
+    """Rows per parquet row group targeting ~TARGET_ROW_GROUP_BYTES.
+
+    Row groups are the scan-split unit: a reader (Ray's parquet datasource
+    included) can parallelize WITHIN a fragment only at row-group
+    boundaries.  One giant row group per fragment caps a full-table scan at
+    one task per fragment — with image payloads that is seconds of decode
+    per task, and the straggler tail eats scaling at high parallelism.
+    ~4 MB groups keep per-task work sub-second without bloating footers
+    (the same sizing logic Iceberg/Lance apply to row groups/pages)."""
+    if tbl.num_rows == 0 or tbl.nbytes == 0:
+        return 1 << 20
+    return max(64, int(tbl.num_rows * TARGET_ROW_GROUP_BYTES / tbl.nbytes))
+
+
 def write_fragment(root: str, tbl: pa.Table, name: str | None = None) -> FragmentMeta:
     """Write one fragment (atomic, idempotent when ``name`` is content-addressed).
 
@@ -93,7 +111,8 @@ def write_fragment(root: str, tbl: pa.Table, name: str | None = None) -> Fragmen
     final = os.path.join(root, rel)
     if not os.path.exists(final):
         tmp = final + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
-        pq.write_table(tbl, tmp, compression=column_compression(tbl.schema))
+        pq.write_table(tbl, tmp, compression=column_compression(tbl.schema),
+                       row_group_size=_row_group_size(tbl))
         os.replace(tmp, final)
     stats = compute_stats(tbl)
     if MERGE_KEY_COLUMN in tbl.column_names and pa.types.is_string(
