@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         maintenance_queries,
         similarity,
     )
+    from ocel_ocpn_lakehouse_ray.pipelines.dashboard import DASHBOARD_QUERIES
     from ocel_ocpn_lakehouse_ray.pipelines.predictive import PREDICTIVE_QUERIES
     from ocel_ocpn_lakehouse_ray.pipelines.queries import QUERIES
     from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_QUERIES
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out = dict(QUERIES)
     out.update(EXTRA_QUERIES)
     out.update(PREDICTIVE_QUERIES)
+    out.update(DASHBOARD_QUERIES)
     out.update({
         "petri_arcs": q_petri_arcs,
         "pnml_arcs": q_pnml_arcs,
@@ -135,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from ocel_ocpn_lakehouse_ray.pipelines import conformance, similarity
+    from ocel_ocpn_lakehouse_ray.pipelines.dashboard import DASHBOARD_ORACLE_SQL
     from ocel_ocpn_lakehouse_ray.pipelines.predictive import PREDICTIVE_ORACLE_SQL
     from ocel_ocpn_lakehouse_ray.pipelines.queries import ORACLE_SQL
     from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_ORACLE_SQL
@@ -144,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLE_SQL)
     out.update(EXTRA_ORACLE_SQL)
     out.update(PREDICTIVE_ORACLE_SQL)
+    out.update(DASHBOARD_ORACLE_SQL)
     out.update({
         "petri_arcs": SQL_PETRI_ARCS,
         "variants": conformance.SQL_TRACE_VARIANTS,
