@@ -43,13 +43,21 @@ def _init_ray(num_cpus: int | None):
 
     # Spin up the worker pool before the job's own timing starts: a freshly
     # `ray job submit`-ted process otherwise charges worker cold-start (python
-    # imports in every worker) to the first pipeline.  A long-running cluster
-    # (the north-rule deployment) is always warm.
+    # interpreter spawn + library imports in every worker) to the first
+    # pipeline.  A long-running cluster (the north-rule deployment) keeps a
+    # warm pool with the job code already imported, so the warm pass also
+    # imports the hot modules (codec/generator/verify) in each worker.
     import ray.data
+
+    def _warm(b):
+        import ocel_ocpn_lakehouse_ray.functions.codec  # noqa: F401
+        import ocel_ocpn_lakehouse_ray.sources.generator  # noqa: F401
+        import ocel_ocpn_lakehouse_ray.stages.verify  # noqa: F401
+        return b
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     ray.data.range(cpus * 1000, override_num_blocks=cpus * 2).map_batches(
-        lambda b: b, batch_format="pyarrow"
+        _warm, batch_format="pyarrow"
     ).count()
 
 
