@@ -67,7 +67,9 @@ def main(argv=None):
                                         "expire", "gc", "fsck", "plan", "verify",
                                         "decode-verify", "health", "history",
                                         "cleanup-journal", "refresh-views", "ask",
-                                        "verify-merged", "verify-snapshot"])
+                                        "verify-merged", "verify-snapshot",
+                                        "rollback", "diff"])
+    ap.add_argument("--from-version", type=int, default=None)
     ap.add_argument("--root", required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--question", default=None)
@@ -143,6 +145,13 @@ def main(argv=None):
                              num_snapshots=len(mf.list_manifest_versions(args.root)),
                              config=t.config)
         out = rep.__dict__
+    elif args.command == "rollback":
+        t = LakeTable.load(args.root)
+        t2 = t.rollback(args.version)
+        out = dict(t2.manifest.summary)
+        out["version"] = t2.version
+    elif args.command == "diff":
+        out = LakeTable.load(args.root).diff(args.from_version, args.version)
     elif args.command == "history":
         out = {"versions": [
             {"version": m.version, "operation": m.operation,

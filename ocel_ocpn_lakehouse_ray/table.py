@@ -190,6 +190,86 @@ class LakeTable:
         )
         return LakeTable(self.root, new)
 
+    def rollback(self, version: int) -> "LakeTable":
+        """Restore an earlier snapshot's fragment list as a NEW commit —
+        Iceberg ``rollback_to_snapshot`` semantics (the reference's tables
+        sit on exactly that Iceberg surface): history is preserved, nothing
+        is deleted, the rolled-back-to state simply becomes the newest
+        version.  Concurrent-writer safety comes from the normal commit
+        conflict check.  Fails with FileNotFoundError if the target
+        manifest was expired or any of its data files was GC'd."""
+        try:
+            target = mf.load_manifest(self.root, version)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"cannot rollback to v{version}: the manifest was expired "
+                f"(snapshot retention) — {e}") from e
+        missing = [f.path for f in target.fragments
+                   if not os.path.exists(os.path.join(self.root, f.path))]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot rollback to v{version}: {len(missing)} data files "
+                f"were garbage-collected (first: {missing[0]})")
+        cur_ids = {f.fragment_id for f in self.fragments}
+        tgt_ids = {f.fragment_id for f in target.fragments}
+        add = [f for f in target.fragments if f.fragment_id not in cur_ids]
+        return self.commit(
+            operation="rollback", add=add, remove_ids=cur_ids - tgt_ids,
+            summary={"rollback_to": version,
+                     "restored_fragments": len(target.fragments),
+                     "restored_rows": sum(f.rows for f in target.fragments)})
+
+    def diff(self, from_version: int, to_version: int | None = None) -> dict:
+        """Snapshot diff: fragments/rows added and removed between two
+        versions, plus the operations in the range — the metadata a CDC /
+        incremental-refresh consumer needs to decide whether the range is
+        append-only (every Iceberg-style incremental scan has the same
+        caveat: a rewrite re-adds surviving rows as new fragments)."""
+        a = mf.load_manifest(self.root, from_version)
+        b = (self.manifest if to_version is None
+             else mf.load_manifest(self.root, to_version))
+        a_ids = {f.fragment_id for f in a.fragments}
+        b_ids = {f.fragment_id for f in b.fragments}
+        added = [f for f in b.fragments if f.fragment_id not in a_ids]
+        removed = [f for f in a.fragments if f.fragment_id not in b_ids]
+        ops = [m.operation for m in self.history()
+               if a.version < m.version <= b.version]
+        return {
+            "from_version": a.version, "to_version": b.version,
+            "added_fragments": len(added), "removed_fragments": len(removed),
+            "added_rows": sum(f.rows for f in added),
+            "removed_rows": sum(f.rows for f in removed),
+            "operations": ops,
+            "append_only": all(op == "append" for op in ops),
+        }
+
+    def read_incremental(self, from_version: int,
+                         to_version: int | None = None,
+                         columns: list[str] | None = None, **read_kwargs):
+        """Dataset over fragments ADDED between two snapshots — incremental
+        (CDC-style) consumption so a downstream pipeline (MV refresh, index
+        build, training-data delta export) reads only new data instead of
+        rescanning the table.  For ranges containing rewrite commits
+        (compact / cluster / merge / rollback) the added fragments include
+        rewritten-but-logically-unchanged rows; check
+        ``diff()['append_only']`` first when exactly-once row delivery
+        matters (the Iceberg incremental-scan contract)."""
+        import ray.data
+
+        b = self if to_version is None else LakeTable.load(self.root, to_version)
+        a_ids = {f.fragment_id
+                 for f in mf.load_manifest(self.root, from_version).fragments}
+        added = [f for f in b.fragments if f.fragment_id not in a_ids]
+        schema = b.schema
+        if not added:
+            tbl = schema.empty_table()
+            return ray.data.from_arrow(tbl.select(columns) if columns else tbl)
+        read_schema = (pa.schema([schema.field(c) for c in columns])
+                       if columns else schema)
+        return ray.data.read_parquet(
+            b.fragment_paths(added), columns=columns, schema=read_schema,
+            **read_kwargs)
+
     def append_arrow(self, tbl: pa.Table, *, name_parts: tuple | None = None) -> "LakeTable":
         """Small/driver-side append (reference S4 `write_iceberg(mode=append)`)."""
         metas = write_table_as_fragments(

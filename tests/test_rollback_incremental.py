@@ -1,0 +1,92 @@
+"""Rollback (Iceberg rollback_to_snapshot semantics) and incremental
+snapshot-diff reads — time-travel maintenance surface over the manifest
+chain (reference: the PyIceberg table API the maintenance layer sits on,
+`ops/maintenance_system.py:16-27`)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocel_ocpn_lakehouse_ray.sources.generator import (
+    create_image_table,
+    gen_batch,
+)
+from ocel_ocpn_lakehouse_ray.stages.compaction import run_compaction
+from ocel_ocpn_lakehouse_ray.table import LakeTable
+
+
+def _ids(t):
+    return sorted(t.to_arrow(columns=["image_id"])["image_id"].to_pylist())
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return create_image_table(str(tmp_path / "t"), 200, num_fragments=5, seed=11)
+
+
+def test_rollback_restores_snapshot_and_preserves_history(table):
+    v_base = table.version
+    base_ids = _ids(table)
+    t2 = table.append_arrow(gen_batch(np.arange(10**6, 10**6 + 40), 11))
+    t3, _ = run_compaction(t2, job_id="rb-compact")
+    assert t3.manifest.total_rows == 240
+
+    t4 = t3.rollback(v_base)
+    assert t4.version == t3.version + 1          # history advances, not resets
+    assert t4.manifest.operation == "rollback"
+    assert t4.manifest.total_rows == 200
+    assert _ids(t4) == base_ids                  # exact snapshot content
+
+    # the rolled-away version is still pinnable (snapshot isolation)
+    pinned = LakeTable.load(table.root, version=t3.version)
+    assert pinned.manifest.total_rows == 240
+
+
+def test_rollback_after_gc_raises(table):
+    from ocel_ocpn_lakehouse_ray.stages.gc import expire_snapshots, garbage_collect
+
+    v_base = table.version
+    t2, _ = run_compaction(
+        table.append_arrow(gen_batch(np.arange(10**6, 10**6 + 20), 11)),
+        job_id="rb-gc-compact")
+    expire_snapshots(table.root, keep_last=1)
+    garbage_collect(table.root, orphan_grace_seconds=0.0)
+    with pytest.raises(FileNotFoundError, match="expired|garbage-collected"):
+        t2.rollback(v_base)
+
+
+def test_diff_and_incremental_read_append_only(table):
+    v0 = table.version
+    t2 = table.append_arrow(gen_batch(np.arange(10**6, 10**6 + 30), 11))
+    t3 = t2.append_arrow(gen_batch(np.arange(2 * 10**6, 2 * 10**6 + 15), 11))
+
+    d = t3.diff(v0)
+    assert d["append_only"] and d["operations"] == ["append", "append"]
+    assert d["added_rows"] == 45 and d["removed_rows"] == 0
+
+    inc = t3.read_incremental(v0, columns=["image_id"])
+    got = sorted(b for blk in inc.iter_batches(batch_format="pyarrow")
+                 for b in blk["image_id"].to_pylist())
+    expect = sorted(f"img_{i:012d}_{i}" for i in
+                    list(range(10**6, 10**6 + 30))
+                    + list(range(2 * 10**6, 2 * 10**6 + 15)))
+    # ids are generator-format; just check the count and disjointness shape
+    assert len(got) == 45 and len(set(got)) == 45
+    base = set(_ids(table))
+    assert not (set(got) & base)
+
+
+def test_diff_flags_rewrites(table):
+    v0 = table.version
+    t2, _ = run_compaction(table, job_id="rb-diff-compact")
+    d = t2.diff(v0)
+    assert not d["append_only"] and "compact" in d["operations"]
+    # incremental read over a rewrite range re-reads exactly the rows of the
+    # REWRITTEN fragments (untouched right-sized fragments don't reappear)
+    n = t2.read_incremental(v0).count()
+    assert n == d["added_rows"] > 0
+
+
+def test_incremental_read_empty_range(table):
+    inc = table.read_incremental(table.version)
+    assert inc.count() == 0
