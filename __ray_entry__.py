@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_merge": maintenance_queries.maint_merge,
         "maint_expire_gc": maintenance_queries.maint_expire_gc,
         "maint_evolve_schema": maintenance_queries.maint_evolve_schema,
+        "maint_export_shards": maintenance_queries.maint_export_shards,
         "mv_refresh_dfg": maintenance_queries.mv_refresh_dfg,
     })
     return out

@@ -68,8 +68,10 @@ def main(argv=None):
                                         "decode-verify", "health", "history",
                                         "cleanup-journal", "refresh-views", "ask",
                                         "verify-merged", "verify-snapshot",
-                                        "rollback", "diff"])
+                                        "rollback", "diff", "export"])
     ap.add_argument("--from-version", type=int, default=None)
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--shard-bytes", type=int, default=None)
     ap.add_argument("--root", required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--question", default=None)
@@ -145,6 +147,13 @@ def main(argv=None):
                              num_snapshots=len(mf.list_manifest_versions(args.root)),
                              config=t.config)
         out = rep.__dict__
+    elif args.command == "export":
+        from .stages.export import DEFAULT_SHARD_BYTES, run_export
+
+        t = LakeTable.load(args.root, version=args.version)
+        out = run_export(t, args.out_dir or args.root + "_shards",
+                         job_id=args.job_id,
+                         shard_bytes=args.shard_bytes or DEFAULT_SHARD_BYTES)
     elif args.command == "rollback":
         t = LakeTable.load(args.root)
         t2 = t.rollback(args.version)

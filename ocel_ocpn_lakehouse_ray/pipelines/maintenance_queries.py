@@ -168,3 +168,30 @@ def maint_expire_gc(sf_dir: str) -> pd.DataFrame:
     # fsck must be clean post-GC; surface it in the result for the rows check
     df["gc_clean"] = bool(not rep["orphans"] and not rep["missing"])
     return df
+
+
+def maint_export_shards(sf_dir: str) -> pd.DataFrame:
+    """Training-shard export (stages/export.py): export the seed snapshot,
+    read the shards back, prove scan equivalence — the resumable delta/full
+    export surface a training pipeline consumes (rows-only check)."""
+    import uuid as _uuid
+
+    from ..stages.export import run_export
+
+    root = _working_copy(_scale_n(sf_dir), "export")
+    out = os.path.join(WORK_ROOT, f"shards_{_uuid.uuid4().hex[:8]}")
+    t = LakeTable.load(root)
+    run_export(t, out, job_id="q-export")
+    import pyarrow.parquet as pq
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    df = pa.concat_tables(
+        [pq.read_table(os.path.join(out, f),
+                       columns=["image_id", "caption", "w", "h", "fmt",
+                                "phash"]) for f in files]
+    ).to_pandas().sort_values("image_id").reset_index(drop=True)
+    expected = _scan(t)[df.columns]
+    assert df.equals(expected), "export scan-equivalence failed"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return df
