@@ -39,10 +39,26 @@ def choose_num_partitions(
     target_bytes: int,
     *,
     num_fragments: int | None = None,
-    floor: int = 1,
+    floor: int | None = None,
 ) -> int:
     """Partition count ~ one output fragment per partition, clamped by the
-    reference bucket heuristic (A16) when fragment count is known."""
+    reference bucket heuristic (A16) when fragment count is known.
+
+    ``floor`` defaults to the CLUSTER CPU COUNT: the reduce stage of a
+    rewrite shuffle runs one task per partition, so a byte-derived count
+    below the cluster's parallelism (e.g. 1 GB / 256 MB target = 4
+    partitions on a 16-CPU cluster) leaves most of the cluster idle for the
+    whole reduce — the classic numPartitions >= defaultParallelism rule.
+    At 100 TB the byte-derived count (~400k) dwarfs any cluster size, so
+    the floor only binds at small tables, where the smaller output
+    fragments it implies are recovered by the next compaction."""
+    if floor is None:
+        try:
+            import ray
+
+            floor = int(ray.cluster_resources().get("CPU", 1))
+        except Exception:
+            floor = 1
     p = max(floor, -(-total_bytes // max(1, target_bytes)))
     if num_fragments is not None and num_fragments >= 320:
         # reference heuristic only binds for non-toy file counts
