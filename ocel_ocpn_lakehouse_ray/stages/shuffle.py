@@ -18,7 +18,11 @@ import pyarrow as pa
 from ..config import optimal_bucket_count
 from ..functions.hashing import hash_strings
 
+import os as _os
+
 PART_COL = "__part"
+# parallelism floor never shatters partitions below this size
+MIN_PARTITION_BYTES = int(_os.environ.get("GRAFT_MIN_PART_BYTES", 16 << 20))
 
 
 def assign_hash_part(batch: pa.Table, key_col: str, num_parts: int, seed: int = 0) -> pa.Table:
@@ -51,7 +55,10 @@ def choose_num_partitions(
     whole reduce — the classic numPartitions >= defaultParallelism rule.
     At 100 TB the byte-derived count (~400k) dwarfs any cluster size, so
     the floor only binds at small tables, where the smaller output
-    fragments it implies are recovered by the next compaction."""
+    fragments it implies are recovered by the next compaction.  The floor
+    itself is bounded so no partition drops below ~MIN_PARTITION_BYTES —
+    a toy table must not shatter into per-fragment-overhead-dominated
+    slivers just because the cluster is wide."""
     if floor is None:
         try:
             import ray
@@ -59,6 +66,7 @@ def choose_num_partitions(
             floor = int(ray.cluster_resources().get("CPU", 1))
         except Exception:
             floor = 1
+        floor = max(1, min(floor, total_bytes // MIN_PARTITION_BYTES))
     p = max(floor, -(-total_bytes // max(1, target_bytes)))
     if num_fragments is not None and num_fragments >= 320:
         # reference heuristic only binds for non-toy file counts
