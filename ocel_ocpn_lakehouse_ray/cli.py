@@ -152,7 +152,7 @@ def main(argv=None):
 
         t = LakeTable.load(args.root, version=args.version)
         out = run_export(t, args.out_dir or args.root + "_shards",
-                         job_id=args.job_id,
+                         job_id=args.job_id, from_version=args.from_version,
                          shard_bytes=args.shard_bytes or DEFAULT_SHARD_BYTES)
     elif args.command == "rollback":
         t = LakeTable.load(args.root)

@@ -56,20 +56,31 @@ def plan_shards(fragments, *, shard_bytes: int) -> list[list]:
 def run_export(table, out_dir: str, *, job_id: str | None = None,
                columns: list[str] | None = None,
                shard_bytes: int = DEFAULT_SHARD_BYTES,
+               from_version: int | None = None,
                failpoint: int | None = None) -> dict:
     """Export ``table``'s pinned snapshot to ``out_dir`` as parquet shards.
 
-    Returns a report; re-running with the same job_id after an interruption
-    resumes, skipping journaled shards (exercised in tests with a
-    failpoint)."""
+    ``from_version`` exports only the DELTA — fragments added since that
+    snapshot (the CDC shape of ``LakeTable.read_incremental``), so a
+    training pipeline ships new data without re-exporting the corpus;
+    check ``table.diff(from_version)['append_only']`` when a rewrite in
+    the range matters.  Returns a report; re-running with the same job_id
+    after an interruption resumes, skipping journaled shards (exercised in
+    tests with a failpoint)."""
     import ray
 
+    from ..state import manifest as mf
     from ..sources.fragments import column_compression
 
     job_id = job_id or f"export-v{table.version}"
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
-    shards = plan_shards(table.fragments, shard_bytes=shard_bytes)
+    frags = table.fragments
+    if from_version is not None:
+        old = {f.fragment_id
+               for f in mf.load_manifest(table.root, from_version).fragments}
+        frags = [f for f in frags if f.fragment_id not in old]
+    shards = plan_shards(frags, shard_bytes=shard_bytes)
     schema = table.schema
     out_schema = (pa.schema([schema.field(c) for c in columns])
                   if columns else schema)
@@ -122,6 +133,7 @@ def run_export(table, out_dir: str, *, job_id: str | None = None,
     manifest = {
         "table_root": root,
         "table_version": table.version,
+        "from_version": from_version,
         "job_id": job_id,
         "columns": columns or [f.name for f in out_schema],
         "shards": [

@@ -67,3 +67,22 @@ def test_export_failpoint_resume_skips_done_shards(table, tmp_path):
         assert os.path.getmtime(os.path.join(out, f)) == mtime  # not rewritten
     man = json.load(open(os.path.join(out, "_MANIFEST.json")))
     assert man["total_rows"] == 300
+
+
+def test_delta_export_from_version(table, tmp_path):
+    import numpy as np
+
+    from ocel_ocpn_lakehouse_ray.sources.generator import gen_batch
+
+    v0 = table.version
+    t2 = table.append_arrow(gen_batch(np.arange(10**6, 10**6 + 25), 5))
+    out = str(tmp_path / "delta")
+    rep = run_export(t2, out, job_id="exp-delta", from_version=v0)
+    assert rep["rows"] == 25
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["from_version"] == v0 and man["total_rows"] == 25
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    got = {v for f in files
+           for v in pq.read_table(os.path.join(out, f))["image_id"].to_pylist()}
+    base = set(table.to_arrow(columns=["image_id"])["image_id"].to_pylist())
+    assert len(got) == 25 and not (got & base)
