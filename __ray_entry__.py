@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_expire_gc": maintenance_queries.maint_expire_gc,
         "maint_evolve_schema": maintenance_queries.maint_evolve_schema,
         "maint_export_shards": maintenance_queries.maint_export_shards,
+        "maint_delete": maintenance_queries.maint_delete,
         "mv_refresh_dfg": maintenance_queries.mv_refresh_dfg,
     })
     return out

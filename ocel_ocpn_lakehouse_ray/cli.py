@@ -68,10 +68,12 @@ def main(argv=None):
                                         "decode-verify", "health", "history",
                                         "cleanup-journal", "refresh-views", "ask",
                                         "verify-merged", "verify-snapshot",
-                                        "rollback", "diff", "export"])
+                                        "rollback", "diff", "export", "delete"])
     ap.add_argument("--from-version", type=int, default=None)
     ap.add_argument("--out-dir", default=None)
     ap.add_argument("--shard-bytes", type=int, default=None)
+    ap.add_argument("--where", default=None,
+                    help='delete predicates, JSON list: [{"column":...,"op":...}]')
     ap.add_argument("--root", required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--question", default=None)
@@ -154,6 +156,11 @@ def main(argv=None):
         out = run_export(t, args.out_dir or args.root + "_shards",
                          job_id=args.job_id, from_version=args.from_version,
                          shard_bytes=args.shard_bytes or DEFAULT_SHARD_BYTES)
+    elif args.command == "delete":
+        from .stages.delete import run_delete
+
+        _, out = run_delete(LakeTable.load(args.root),
+                            json.loads(args.where), job_id=args.job_id)
     elif args.command == "rollback":
         t = LakeTable.load(args.root)
         t2 = t.rollback(args.version)

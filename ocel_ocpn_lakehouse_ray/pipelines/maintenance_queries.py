@@ -195,3 +195,22 @@ def maint_export_shards(sf_dir: str) -> pd.DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(root, ignore_errors=True)
     return df
+
+
+def maint_delete(sf_dir: str) -> pd.DataFrame:
+    """Predicate DELETE (stages/delete.py): delete a width band from the
+    snapshot, return the surviving scan — rows-only check (the deleted rows
+    are exactly the rows matching the predicate, asserted in place)."""
+    from ..stages.delete import run_delete
+
+    root = _working_copy(_scale_n(sf_dir), "delete")
+    t = LakeTable.load(root)
+    before = t.manifest.total_rows
+    t2, rep = run_delete(
+        t, [{"column": "w", "op": "between", "lo": 48, "hi": 64}],
+        job_id="q-delete")
+    df = _scan(t2)
+    assert not ((df["w"] >= 48) & (df["w"] <= 64)).any()
+    assert len(df) == before - rep["deleted"]
+    shutil.rmtree(root, ignore_errors=True)
+    return df

@@ -1,0 +1,153 @@
+"""Predicate DELETE: copy-on-write row deletion — the remaining DML verb
+next to MERGE INTO (`stages/merge.py`), absent from the reference's
+advisory maintenance layer but required by any real lakehouse user.
+
+Plan over manifest metadata only: fragments whose min/max stats CANNOT
+contain a matching row pass through untouched (`FragmentMeta.prune` — the
+same pruning MERGE uses); each candidate fragment becomes one independent
+rewrite task that reads the fragment, drops matching rows vectorized
+(`pyarrow.compute`), and writes the survivor fragment (or nothing, if every
+row matched).  No shuffle, no exchange — the same embarrassingly-parallel
+scaling class as compaction, bounded by storage bandwidth at 100 TB.
+
+Resumable: each fragment journals a lineage record; rerunning the same
+job_id skips journaled fragments and rebuilds the commit from the journal.
+
+Supported predicates (each a dict, combined with AND):
+  {"column": c, "op": "between", "lo": x, "hi": y}
+  {"column": c, "op": "eq", "value": v}
+  {"column": c, "op": "isin", "values": [...]}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.fragments import batch_to_metas, metas_to_batch, write_table_as_fragments
+from ..state import lineage
+
+
+def _match_expr(batch: pa.Table, predicates: list[dict]):
+    """Boolean mask of rows MATCHING every predicate (AND) — these rows are
+    deleted."""
+    mask = pc.cast(pa.array([True] * batch.num_rows), pa.bool_())
+    for p in predicates:
+        col = batch[p["column"]]
+        op = p["op"]
+        if op == "between":
+            m = pc.and_(pc.greater_equal(col, pa.scalar(p["lo"])),
+                        pc.less_equal(col, pa.scalar(p["hi"])))
+        elif op == "eq":
+            m = pc.equal(col, pa.scalar(p["value"]))
+        elif op == "isin":
+            m = pc.is_in(col, value_set=pa.array(p["values"]))
+        else:
+            raise ValueError(f"unsupported delete predicate op {op!r}")
+        mask = pc.and_(mask, pc.fill_null(m, False))
+    return mask
+
+
+def _fragment_may_match(frag, predicates: list[dict]) -> bool:
+    """Stats check: False only when the fragment provably holds no match."""
+    for p in predicates:
+        c, op = p["column"], p["op"]
+        if op == "between" and frag.prune(c, p["lo"], p["hi"]):
+            return False
+        if op == "eq" and frag.prune(c, p["value"], p["value"]):
+            return False
+        if op == "isin" and p["values"] and all(
+                frag.prune(c, v, v) for v in p["values"]):
+            return False
+    return True
+
+
+def _delete_in_fragment(batch: pa.Table, *, root: str, job_id: str,
+                        predicates_json: str, target_bytes: int,
+                        failpoint: int | None = None) -> pa.Table:
+    """One task per candidate fragment: read → drop matches → rewrite."""
+    import pyarrow.parquet as pq
+    import os
+
+    predicates = json.loads(predicates_json)
+    out = []
+    for row in batch.to_pylist():
+        fid = row["frag_id"]
+        if failpoint is not None and row["idx"] == failpoint:
+            raise RuntimeError(f"failpoint fragment {row['idx']}")
+        if lineage.load_record(root, job_id, fid) is not None:
+            continue  # resumed: already journaled
+        tbl = pq.read_table(os.path.join(root, row["path"]))
+        mask = _match_expr(tbl, predicates)
+        deleted = int(pc.sum(mask).as_py() or 0)
+        if deleted == 0:  # stats over-approximated; keep the original file
+            lineage.write_record(root, lineage.PartitionRecord(
+                job_id=job_id, partition_id=fid, frags_in=[fid],
+                frags_out=[], rows=tbl.num_rows, bytes=0,
+                extra={"deleted": 0}))
+            continue
+        keep = tbl.filter(pc.invert(mask))
+        metas = (write_table_as_fragments(
+            root, keep, target_bytes=target_bytes,
+            name_parts=(job_id, fid)) if keep.num_rows else [])
+        lineage.write_record(root, lineage.PartitionRecord(
+            job_id=job_id, partition_id=fid, frags_in=[fid],
+            frags_out=[m.to_dict() for m in metas],
+            rows=keep.num_rows, bytes=sum(m.bytes for m in metas),
+            extra={"deleted": deleted}))
+        out.extend(metas)
+    return metas_to_batch(out)
+
+
+def run_delete(table, predicates: list[dict], *, job_id: str | None = None,
+               failpoint: int | None = None):
+    """Execute DELETE WHERE <predicates ANDed>; returns (new_table, report)."""
+    import ray.data
+
+    job_id = job_id or f"delete-v{table.version}"
+    t0 = time.time()
+    candidates = [f for f in table.fragments
+                  if _fragment_may_match(f, predicates)]
+    pruned = len(table.fragments) - len(candidates)
+    if not candidates:
+        return table, {"job_id": job_id, "deleted": 0, "rewritten": 0,
+                       "pruned_fragments": pruned, "seconds": 0.0}
+
+    rows = [{"idx": i, "frag_id": f.fragment_id, "path": f.path}
+            for i, f in enumerate(candidates)]
+    ds = ray.data.from_items(rows)
+    ds.map_batches(
+        _delete_in_fragment,
+        fn_kwargs=dict(root=table.root, job_id=job_id,
+                       predicates_json=json.dumps(predicates),
+                       target_bytes=table.config.target_fragment_bytes,
+                       failpoint=failpoint),
+        batch_format="pyarrow", batch_size=1,
+    ).materialize()  # drive the tasks; results land in the journal
+
+    records = lineage.load_records(table.root, job_id)
+    missing = [f.fragment_id for f in candidates
+               if f.fragment_id not in records]
+    if missing:
+        raise RuntimeError(f"delete incomplete: fragments {missing} not journaled")
+    add, remove_ids, deleted = [], set(), 0
+    for f in candidates:
+        rec = records[f.fragment_id]
+        # a candidate with zero matches keeps its ORIGINAL fragment (no
+        # rewrite churn): the journaled output equals the input rows
+        if rec.extra.get("deleted", 0) == 0:
+            continue
+        add.extend(rec.out_metas())
+        remove_ids.add(f.fragment_id)
+        deleted += rec.extra["deleted"]
+    elapsed = time.time() - t0
+    new_table = table.commit(
+        operation="delete", add=add, remove_ids=remove_ids,
+        summary={"job_id": job_id, "deleted": deleted,
+                 "rewritten": len(remove_ids), "pruned_fragments": pruned,
+                 "seconds": round(elapsed, 3)})
+    report = dict(new_table.manifest.summary)
+    return new_table, report
