@@ -68,7 +68,9 @@ def main(argv=None):
                                         "decode-verify", "health", "history",
                                         "cleanup-journal", "refresh-views", "ask",
                                         "verify-merged", "verify-snapshot",
-                                        "rollback", "diff", "export", "delete"])
+                                        "rollback", "diff", "export", "delete",
+                                        "tag", "untag", "tags"])
+    ap.add_argument("--name", default=None)
     ap.add_argument("--from-version", type=int, default=None)
     ap.add_argument("--out-dir", default=None)
     ap.add_argument("--shard-bytes", type=int, default=None)
@@ -156,6 +158,19 @@ def main(argv=None):
         out = run_export(t, args.out_dir or args.root + "_shards",
                          job_id=args.job_id, from_version=args.from_version,
                          shard_bytes=args.shard_bytes or DEFAULT_SHARD_BYTES)
+    elif args.command == "tag":
+        from .state import manifest as _mf
+
+        t = LakeTable.load(args.root, version=args.version)
+        out = {"tags": t.tag(args.name), "version": t.version}
+    elif args.command == "untag":
+        from .state import manifest as _mf
+
+        out = {"tags": _mf.delete_tag(args.root, args.name)}
+    elif args.command == "tags":
+        from .state import manifest as _mf
+
+        out = {"tags": _mf.read_tags(args.root)}
     elif args.command == "delete":
         from .stages.delete import run_delete
 

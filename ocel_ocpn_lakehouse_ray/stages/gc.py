@@ -37,6 +37,7 @@ def expire_snapshots(root: str, *, keep_last: int, max_age_days: float | None = 
     keep_last = max(1, keep_last)
     keep = set(versions[-keep_last:])
     keep.add(current)
+    keep |= mf.tagged_versions(root)  # named refs pin their snapshots
     if max_age_days is not None:
         for v in versions:
             if v in keep:

@@ -246,3 +246,70 @@ def _repair_orphan_latest(root: str) -> None:
     if top <= latest:
         return  # normal race: the winner's swap is done or imminent
     _swap_latest(root, top)
+
+
+# ------------------------------------------------------------------- tags
+# Named snapshot refs (Iceberg tags): a tag pins a version under a stable
+# name so readers can open `LakeTable.load(root, tag="prod")` regardless of
+# how many maintenance commits have advanced _latest.  Stored as one JSON
+# map serialized by the same flock that guards the _latest swap; a tagged
+# version's manifest is protected from snapshot expiry (stages/gc.py checks
+# tagged_versions()).
+
+TAGS_FILE = "_tags.json"
+
+
+def _tags_path(root: str) -> str:
+    return os.path.join(root, TAGS_FILE)
+
+
+def read_tags(root: str) -> dict[str, int]:
+    try:
+        with open(_tags_path(root)) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except FileNotFoundError:
+        return {}
+
+
+def _write_tags_locked(root: str, mutate) -> dict[str, int]:
+    import fcntl
+    import uuid
+
+    lock = os.path.join(root, ".tags.lock")
+    with open(lock, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            tags = read_tags(root)
+            tags = mutate(tags)
+            tmp = _tags_path(root) + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+            with open(tmp, "w") as f:
+                json.dump(tags, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, _tags_path(root))
+            return tags
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
+def set_tag(root: str, name: str, version: int) -> dict[str, int]:
+    # the manifest must exist NOW; expiry protection keeps it afterwards
+    load_manifest(root, version)
+
+    def mut(tags):
+        tags[name] = int(version)
+        return tags
+
+    return _write_tags_locked(root, mut)
+
+
+def delete_tag(root: str, name: str) -> dict[str, int]:
+    def mut(tags):
+        tags.pop(name, None)
+        return tags
+
+    return _write_tags_locked(root, mut)
+
+
+def tagged_versions(root: str) -> set[int]:
+    return set(read_tags(root).values())

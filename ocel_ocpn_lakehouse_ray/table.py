@@ -92,9 +92,23 @@ class LakeTable:
         return cls(root, m)
 
     @classmethod
-    def load(cls, root: str, version: int | None = None) -> "LakeTable":
-        """Pin one manifest version; None = current latest."""
+    def load(cls, root: str, version: int | None = None,
+             tag: str | None = None) -> "LakeTable":
+        """Pin one manifest version; None = current latest.  ``tag`` resolves
+        a named snapshot ref (mf.set_tag) — tagged versions are protected
+        from snapshot expiry."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass either version or tag, not both")
+            tags = mf.read_tags(root)
+            if tag not in tags:
+                raise KeyError(f"unknown tag {tag!r}; have {sorted(tags)}")
+            version = tags[tag]
         return cls(root, mf.load_manifest(root, version))
+
+    def tag(self, name: str) -> dict[str, int]:
+        """Name THIS pinned version (Iceberg tag ref)."""
+        return mf.set_tag(self.root, name, self.version)
 
     def refresh(self) -> "LakeTable":
         self.manifest = mf.load_manifest(self.root, None)

@@ -90,3 +90,29 @@ def test_diff_flags_rewrites(table):
 def test_incremental_read_empty_range(table):
     inc = table.read_incremental(table.version)
     assert inc.count() == 0
+
+
+def test_tags_pin_load_and_survive_expiry(table):
+    from ocel_ocpn_lakehouse_ray.stages.gc import expire_snapshots
+    from ocel_ocpn_lakehouse_ray.state import manifest as mf
+
+    v0 = table.version
+    table.tag("prod")
+    t2 = table.append_arrow(gen_batch(np.arange(10**6, 10**6 + 10), 11))
+    t3 = t2.append_arrow(gen_batch(np.arange(2 * 10**6, 2 * 10**6 + 10), 11))
+
+    # tag resolves regardless of how far _latest advanced
+    pinned = LakeTable.load(table.root, tag="prod")
+    assert pinned.version == v0 and pinned.manifest.total_rows == 200
+
+    # expiry keeps the tagged manifest even outside keep_last
+    rep = expire_snapshots(table.root, keep_last=1)
+    assert v0 not in rep["expired"]
+    assert LakeTable.load(table.root, tag="prod").version == v0
+
+    # untag then expire: now it can go
+    mf.delete_tag(table.root, "prod")
+    rep2 = expire_snapshots(table.root, keep_last=1)
+    assert v0 in rep2["expired"]
+    with pytest.raises(KeyError):
+        LakeTable.load(table.root, tag="prod")
