@@ -34,7 +34,11 @@ from ..state import lineage
 def _match_expr(batch: pa.Table, predicates: list[dict]):
     """Boolean mask of rows MATCHING every predicate (AND) — these rows are
     deleted."""
-    mask = pc.cast(pa.array([True] * batch.num_rows), pa.bool_())
+    import numpy as np
+
+    # explicit bool dtype: pa.array([]) would infer NULL type (the empty-
+    # batch bug class in ROUND_NOTES_r2.md)
+    mask = pa.array(np.ones(batch.num_rows, dtype=bool))
     for p in predicates:
         col = batch[p["column"]]
         op = p["op"]
