@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "knn_bruteforce",
     "embedding_dedup",
+    "next_activity",
+    "executive_kpis",
 ]
 
 
