@@ -159,8 +159,6 @@ def main(argv=None):
                          job_id=args.job_id, from_version=args.from_version,
                          shard_bytes=args.shard_bytes or DEFAULT_SHARD_BYTES)
     elif args.command == "tag":
-        from .state import manifest as _mf
-
         t = LakeTable.load(args.root, version=args.version)
         out = {"tags": t.tag(args.name), "version": t.version}
     elif args.command == "untag":
