@@ -74,3 +74,20 @@ def test_delete_failpoint_resume(table):
     ws = t2.to_arrow(columns=["h"])["h"].to_pylist()
     assert not any(32 <= v <= 48 for v in ws)
     assert t2.manifest.total_rows + rep["deleted"] == 300
+
+
+def test_delete_conflicts_with_concurrent_merge(table):
+    """Two writers rewriting the same fragments: the second commit must
+    CommitConflict (same guarantee the MERGE/compact writers have)."""
+    from ocel_ocpn_lakehouse_ray.sources.generator import merge_source_dataset
+    from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
+    from ocel_ocpn_lakehouse_ray.state.manifest import CommitConflict
+
+    a = LakeTable.load(table.root)          # two independent handles
+    b = LakeTable.load(table.root)
+    _, rep = run_delete(a, [{"column": "w", "op": "between", "lo": 32, "hi": 128}],
+                        job_id="del-race")  # rewrites every fragment
+    assert rep["deleted"] > 0
+    with pytest.raises(CommitConflict):
+        run_merge(b, merge_source_dataset(300, seed=13, num_blocks=2),
+                  job_id="merge-race")
