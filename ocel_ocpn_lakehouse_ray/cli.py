@@ -68,14 +68,16 @@ def main(argv=None):
                                         "decode-verify", "health", "history",
                                         "cleanup-journal", "refresh-views", "ask",
                                         "verify-merged", "verify-snapshot",
-                                        "rollback", "diff", "export", "delete",
+                                        "rollback", "diff", "export", "delete", "update",
                                         "tag", "untag", "tags"])
     ap.add_argument("--name", default=None)
     ap.add_argument("--from-version", type=int, default=None)
     ap.add_argument("--out-dir", default=None)
     ap.add_argument("--shard-bytes", type=int, default=None)
     ap.add_argument("--where", default=None,
-                    help='delete predicates, JSON list: [{"column":...,"op":...}]')
+                    help='DML predicates, JSON list: [{"column":...,"op":...}]')
+    ap.add_argument("--set", default=None, dest="set_exprs",
+                    help='update SET exprs, JSON list: [{"column":...,"set":...}]')
     ap.add_argument("--root", required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--question", default=None)
@@ -174,6 +176,11 @@ def main(argv=None):
 
         _, out = run_delete(LakeTable.load(args.root),
                             json.loads(args.where), job_id=args.job_id)
+    elif args.command == "update":
+        from .stages.update import run_update
+
+        _, out = run_update(LakeTable.load(args.root), json.loads(args.where),
+                            json.loads(args.set_exprs), job_id=args.job_id)
     elif args.command == "rollback":
         t = LakeTable.load(args.root)
         t2 = t.rollback(args.version)
