@@ -72,3 +72,34 @@ def test_cli_ask_and_refresh_views(tmp_path, capsys):
                   "--sf-dir", "/root/testdata/sf0.001",
                   "--question", "show the top customers")
     assert ans["intent"] == "top_customers" and ans["rows"] == 10
+
+
+def test_cli_dml_timetravel_export(tmp_path, capsys):
+    root = str(tmp_path / "t2")
+    run_cli(capsys, "create", "--root", root, "--rows", "150")
+    run_cli(capsys, "tag", "--root", root, "--name", "base")
+
+    upd = run_cli(capsys, "update", "--root", root,
+                  "--where", '[{"column":"fmt","op":"eq","value":"png"}]',
+                  "--set", '[{"column":"caption","prefix":"[p] "}]')
+    assert upd["updated"] > 0
+
+    dele = run_cli(capsys, "delete", "--root", root,
+                   "--where", '[{"column":"w","op":"eq","value":64}]')
+    assert dele["deleted"] > 0
+
+    d = run_cli(capsys, "diff", "--root", root, "--from-version", "1")
+    assert d["append_only"] is False
+    assert set(d["operations"]) == {"update", "delete"}
+
+    out_dir = str(tmp_path / "shards")
+    exp = run_cli(capsys, "export", "--root", root, "--out-dir", out_dir)
+    assert exp["rows"] == 150 - dele["deleted"]
+
+    rb = run_cli(capsys, "rollback", "--root", root, "--version", "1")
+    assert rb["restored_rows"] == 150
+
+    tags = run_cli(capsys, "tags", "--root", root)
+    assert tags["tags"] == {"base": 1}
+    run_cli(capsys, "untag", "--root", root, "--name", "base")
+    assert run_cli(capsys, "tags", "--root", root)["tags"] == {}
