@@ -21,6 +21,7 @@ Supported predicates (each a dict, combined with AND):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import time
 
@@ -29,6 +30,30 @@ import pyarrow.compute as pc
 
 from ..sources.fragments import batch_to_metas, metas_to_batch, write_table_as_fragments
 from ..state import lineage
+
+
+def predicate_fingerprint(*objs) -> str:
+    """Stable short hash of a DML job's predicate/SET payload.  Folded into
+    the default job_id AND checked against the lineage job meta on resume:
+    journal records written under one predicate must never be reused by a
+    rerun with a different one (same-version rerun after an interrupted
+    DELETE would otherwise silently mix two predicates into one commit)."""
+    blob = json.dumps(objs, sort_keys=True, default=str).encode()
+    return hashlib.sha256(blob).hexdigest()[:10]
+
+
+def check_job_meta(root: str, job_id: str, fp: str, payload: dict) -> None:
+    """First run writes {fingerprint, payload} to the job meta; a resume with
+    a different fingerprint (same explicit job_id, different predicates/sets)
+    raises instead of reusing the stale journal."""
+    meta = lineage.load_job_meta(root, job_id)
+    if meta is None:
+        lineage.write_job_meta(root, job_id, {"fingerprint": fp, **payload})
+    elif meta.get("fingerprint") != fp:
+        raise ValueError(
+            f"job {job_id!r} was previously run with different "
+            f"predicates/sets (journal fingerprint {meta.get('fingerprint')} "
+            f"!= {fp}); use a fresh job_id or clear the journal")
 
 
 def _match_expr(batch: pa.Table, predicates: list[dict]):
@@ -111,7 +136,8 @@ def run_delete(table, predicates: list[dict], *, job_id: str | None = None,
     """Execute DELETE WHERE <predicates ANDed>; returns (new_table, report)."""
     import ray.data
 
-    job_id = job_id or f"delete-v{table.version}"
+    fp = predicate_fingerprint(predicates)
+    job_id = job_id or f"delete-v{table.version}-{fp}"
     t0 = time.time()
     candidates = [f for f in table.fragments
                   if _fragment_may_match(f, predicates)]
@@ -119,6 +145,8 @@ def run_delete(table, predicates: list[dict], *, job_id: str | None = None,
     if not candidates:
         return table, {"job_id": job_id, "deleted": 0, "rewritten": 0,
                        "pruned_fragments": pruned, "seconds": 0.0}
+    check_job_meta(table.root, job_id, fp,
+                   {"predicates": predicates, "base_version": table.version})
 
     rows = [{"idx": i, "frag_id": f.fragment_id, "path": f.path}
             for i, f in enumerate(candidates)]

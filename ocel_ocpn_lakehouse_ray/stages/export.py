@@ -130,6 +130,19 @@ def run_export(table, out_dir: str, *, job_id: str | None = None,
         raise first_err
 
     records = lineage.load_records(root, job_id)
+    # Manifest covers exactly the shards PLANNED IN THIS RUN, in numeric
+    # shard order: the journal may hold stale records from a prior run of
+    # the same job_id over a different table version / shard plan, and a
+    # lexical sort of 'shard-NNNNN' ids mis-orders shards once the zero
+    # padding overflows (past shard 99999 at the ~400k-shard scale the
+    # module docstring targets).
+    planned = [f"shard-{i:05d}" for i in range(len(shards))]
+    unjournaled = [pid for pid in planned if pid not in records]
+    if unjournaled:
+        raise RuntimeError(
+            f"export incomplete: {len(unjournaled)} planned shards have no "
+            f"journal record (first: {unjournaled[0]})")
+    recs = [records[pid] for pid in planned]
     manifest = {
         "table_root": root,
         "table_version": table.version,
@@ -137,11 +150,12 @@ def run_export(table, out_dir: str, *, job_id: str | None = None,
         "job_id": job_id,
         "columns": columns or [f.name for f in out_schema],
         "shards": [
-            {"file": rec.extra["file"], "rows": rec.rows, "bytes": rec.bytes}
-            for _, rec in sorted(records.items())
+            {"shard": i, "file": rec.extra["file"], "rows": rec.rows,
+             "bytes": rec.bytes}
+            for i, rec in enumerate(recs)
         ],
-        "total_rows": sum(r.rows for r in records.values()),
-        "total_bytes": sum(r.bytes for r in records.values()),
+        "total_rows": sum(r.rows for r in recs),
+        "total_bytes": sum(r.bytes for r in recs),
     }
     mpath = os.path.join(out_dir, "_MANIFEST.json")
     tmp = mpath + f".tmp.{os.getpid()}"

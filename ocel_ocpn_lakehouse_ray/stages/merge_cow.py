@@ -269,8 +269,23 @@ def cow_merge(table, src_files: list[str], touched, *, job_id: str,
             lambda b: b.filter(pc.is_null(b["__m"])).drop_columns(["__m"]),
             batch_format="pyarrow")
 
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    p_ins = num_insert_parts or max(1, min(8, n_cpus // 2))
+    # p_ins must be STABLE across resume: cow-insert-NNNNN journal records
+    # are keyed by hash partition, so replaying them under a different
+    # partition count (e.g. a resume on a cluster with a different CPU
+    # count) would silently drop or duplicate insert rows.  Persist the
+    # chosen count in the job meta (alongside run_merge's 'touched' /
+    # 'num_parts') and reuse it on every rerun.
+    meta = lineage.load_job_meta(root, job_id) or {}
+    if num_insert_parts is not None:
+        p_ins = int(num_insert_parts)
+    elif "p_ins" in meta:
+        p_ins = int(meta["p_ins"])
+    else:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        p_ins = max(1, min(8, n_cpus // 2))
+    if meta.get("p_ins") != p_ins:
+        meta["p_ins"] = p_ins
+        lineage.write_job_meta(root, job_id, meta)
     n_frags = len(frag_ids)
 
     def write_inserts(group: pa.Table) -> pa.Table:

@@ -22,7 +22,12 @@ import pyarrow.compute as pc
 
 from ..sources.fragments import metas_to_batch, write_table_as_fragments
 from ..state import lineage
-from .delete import _fragment_may_match, _match_expr
+from .delete import (
+    _fragment_may_match,
+    _match_expr,
+    check_job_meta,
+    predicate_fingerprint,
+)
 
 
 def _apply_sets(tbl: pa.Table, mask, sets: list[dict]) -> pa.Table:
@@ -87,7 +92,8 @@ def run_update(table, predicates: list[dict], sets: list[dict], *,
     (new_table, report)."""
     import ray.data
 
-    job_id = job_id or f"update-v{table.version}"
+    fp = predicate_fingerprint(predicates, sets)
+    job_id = job_id or f"update-v{table.version}-{fp}"
     t0 = time.time()
     candidates = [f for f in table.fragments
                   if _fragment_may_match(f, predicates)]
@@ -95,6 +101,9 @@ def run_update(table, predicates: list[dict], sets: list[dict], *,
     if not candidates:
         return table, {"job_id": job_id, "updated": 0, "rewritten": 0,
                        "pruned_fragments": pruned, "seconds": 0.0}
+    check_job_meta(table.root, job_id, fp,
+                   {"predicates": predicates, "sets": sets,
+                    "base_version": table.version})
 
     rows = [{"idx": i, "frag_id": f.fragment_id, "path": f.path}
             for i, f in enumerate(candidates)]

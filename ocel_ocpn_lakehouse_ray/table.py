@@ -254,7 +254,14 @@ class LakeTable:
             "added_rows": sum(f.rows for f in added),
             "removed_rows": sum(f.rows for f in removed),
             "operations": ops,
-            "append_only": all(op == "append" for op in ops),
+            # ops only covers manifests that still EXIST: if snapshot
+            # retention expired an intermediate rewrite (merge/compact/
+            # delete) the op list can look all-append.  removed==0 is
+            # computed purely from the two endpoint manifests, so it stays
+            # correct however many intermediates were expired — a rewrite
+            # in the range always drops at least one endpoint fragment.
+            "append_only": (all(op == "append" for op in ops)
+                            and len(removed) == 0),
         }
 
     def read_incremental(self, from_version: int,
