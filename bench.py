@@ -31,6 +31,55 @@ import time
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# -------- hypervisor-steal gate (ROUND_NOTES: steal swings 0.3 % -> 17 %+
+# between minutes on this box; identical runs differ 2-3x under a burst).
+# Steal only accrues while vCPUs WANT to run, so the probe burns a few
+# processes for a moment and reads the /proc/stat steal delta.  A rep is
+# retried (bounded) while the box is stolen above GRAFT_STEAL_MAX; every
+# measured value is reported alongside the rep series for audit.
+
+STEAL_MAX = float(os.environ.get("GRAFT_STEAL_MAX", "0.02"))
+STEAL_TRIES = int(os.environ.get("GRAFT_STEAL_TRIES", "4"))
+STEAL_WAIT_S = float(os.environ.get("GRAFT_STEAL_WAIT_S", "8"))
+
+
+def _read_steal():
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return sum(v), (v[7] if len(v) > 7 else 0)
+
+
+def _steal_probe(nproc: int = 8, seconds: float = 1.0) -> float:
+    """Burn `nproc` spinners for `seconds` and return the steal fraction."""
+    burn = (f"import time\ne=time.time()+{seconds}\n"
+            "while time.time()<e: pass\n")
+    procs = [subprocess.Popen([sys.executable, "-c", burn],
+                              stdout=subprocess.DEVNULL,
+                              stderr=subprocess.DEVNULL)
+             for _ in range(nproc)]
+    t1, s1 = _read_steal()
+    time.sleep(seconds)
+    t2, s2 = _read_steal()
+    for p in procs:
+        p.wait()
+    dt = t2 - t1
+    return (s2 - s1) / dt if dt > 0 else 0.0
+
+
+def wait_quiet(label: str = "") -> float:
+    """Block (bounded) until the hypervisor steal is below GRAFT_STEAL_MAX;
+    returns the last measured steal fraction (recorded, never raises)."""
+    steal = _steal_probe()
+    for _ in range(STEAL_TRIES):
+        if steal <= STEAL_MAX:
+            break
+        print(f"# steal gate{' ' + label if label else ''}: "
+              f"{steal * 100:.1f} % > {STEAL_MAX * 100:.0f} % — waiting",
+              file=sys.stderr)
+        time.sleep(STEAL_WAIT_S)
+        steal = _steal_probe()
+    return steal
+
 BENCH_QUERIES = [
     "pricing_summary",
     "revenue_by_nation",
@@ -138,11 +187,13 @@ def run_bench(num_cpus: int, sf_dir: str, *, maintenance_only: bool = False,
         return ph, mrows, t
 
     # this box's ambient load swings identical runs 2-3x; per-phase minima
-    # over a couple of reps is the standard quiet-machine estimator (raw
-    # totals reported for auditability, same protocol as --scaling)
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
-    phase_series, raw_totals = [], []
+    # over >= 3 reps, each rep gated on a hypervisor-steal probe (retry while
+    # stolen), is the quiet-machine estimator — raw totals AND the measured
+    # steal per rep are reported for auditability, same protocol as --scaling
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    phase_series, raw_totals, steal_series = [], [], []
     for i in range(reps):
+        steal_series.append(round(wait_quiet(f"rep {i}") * 100, 1))
         ph, maint_rows, t = one_lifecycle(f"bench{num_cpus}_{i}")
         phase_series.append(ph)
         raw_totals.append(round(sum(ph.values()), 3))
@@ -154,6 +205,7 @@ def run_bench(num_cpus: int, sf_dir: str, *, maintenance_only: bool = False,
         import __ray_entry__ as entrymod
 
         reg = entrymod.queries()
+        q_steal = round(wait_quiet("queries") * 100, 1)
         for name in BENCH_QUERIES:
             best = None
             for _ in range(reps):
@@ -173,9 +225,12 @@ def run_bench(num_cpus: int, sf_dir: str, *, maintenance_only: bool = False,
         "maintenance_rows_per_sec": round(maint_rows / maint_secs, 1),
         "phases": phases,
         "reps_raw_total": raw_totals,
+        "reps_steal_pct": steal_series,
         "table_rows": int(t.manifest.total_rows),
         "table_bytes": int(t.manifest.total_bytes),
     }
+    if not maintenance_only:
+        out["queries_steal_pct"] = q_steal
     ray.shutdown()
     return out
 
@@ -247,11 +302,13 @@ def run_scaling(sf_dir: str, low: int = 4, high: int = 16) -> dict:
     # across the repetitions (fresh process per job, identical input) — the
     # standard quiet-machine estimator.  Raw per-rep totals are reported in
     # `reps_raw` so the aggregation is auditable.
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     series: dict[int, list[list[float]]] = {low: [], high: []}
     rows_by: dict[int, int] = {}
     raw: dict[int, list[float]] = {low: [], high: []}
+    steal_series = []
     for _ in range(reps):
+        steal_series.append(round(wait_quiet("scaling rep") * 100, 1))
         for cpus in (high, low):
             root = _working_copy(SCALING_ROWS, f"scale{cpus}")
             per_job, rows = _lifecycle_job_seconds(root, cpus, SCALING_ROWS)
@@ -283,6 +340,7 @@ def run_scaling(sf_dir: str, low: int = 4, high: int = 16) -> dict:
         "rows": SCALING_ROWS,
         "sf": sf_dir,
         "reps_raw": {str(c): raw[c] for c in (low, high)},
+        "reps_steal_pct": steal_series,
     }
 
 

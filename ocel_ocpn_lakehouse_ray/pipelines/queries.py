@@ -569,29 +569,41 @@ def sketch_quantiles_distributed(ds, col: str, qs: list[float], *,
                                  k: int = 4096) -> list[float]:
     """APPROXIMATE quantiles for unbounded/high-cardinality domains
     (VERDICT r2 #3): per-block compressed summaries (<= k centroids each)
-    are computed on the workers; the driver folds them into ONE running
-    summary, re-compressing after each merge — driver memory is O(k)
-    regardless of row count or distinct cardinality (unlike
-    exact_quantiles_distributed, which holds O(distinct) and is the right
-    tool only for bounded domains like money cents).  Rank error ~1/k per
-    merge level; with k=4096 the p50/p90/p99 of 10^6+ rows land within
-    ~0.1 % rank error."""
+    are merged PAIRWISE inside a Dataset aggregate's combiner (VERDICT r3
+    #7) — Ray Data tree-combines the block partials in the cluster, so the
+    driver receives ONE O(k) summary instead of serially folding every
+    block, and memory everywhere is O(k) regardless of row count or
+    distinct cardinality (unlike exact_quantiles_distributed, which holds
+    O(distinct) and is the right tool only for bounded domains like money
+    cents).  Rank error ~1/k per merge level; with k=4096 the p50/p90/p99
+    of 10^6+ rows land within ~0.1 % rank error."""
+    from ray.data.aggregate import AggregateFn
 
-    def partial(b: pa.Table) -> pa.Table:
-        a = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    def summarize(block):
+        try:
+            arr = block[col].to_numpy(zero_copy_only=False)
+        except AttributeError:  # pandas / dict block
+            arr = np.asarray(block[col])
+        a = arr.astype(np.float64)
         a = a[~np.isnan(a)]
-        v, w = _compress_summary(a, np.ones(len(a)), k)
-        return pa.table({"v": pa.array(v, pa.float64()),
-                         "w": pa.array(w, pa.float64())})
+        return _compress_summary(a, np.ones(len(a)), k)
 
-    merged_v = np.empty(0)
-    merged_w = np.empty(0)
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        merged_v = np.concatenate([merged_v, b["v"].to_numpy()])
-        merged_w = np.concatenate([merged_w, b["w"].to_numpy()])
-        if len(merged_v) > 2 * k:  # fold: keep the driver at O(k)
-            merged_v, merged_w = _compress_summary(merged_v, merged_w, k)
+    def merge(x, y):
+        v = np.concatenate([x[0], y[0]])
+        w = np.concatenate([x[1], y[1]])
+        if len(v) > 2 * k:  # keep every accumulator at O(k)
+            v, w = _compress_summary(v, w, k)
+        return v, w
+
+    agg = AggregateFn(
+        init=lambda _: (np.empty(0, np.float64), np.empty(0, np.float64)),
+        accumulate_block=lambda acc, blk: merge(acc, summarize(blk)),
+        merge=merge,
+        name="sketch",
+    )
+    res_v, res_w = ds.aggregate(agg)["sketch"]  # tuples come back as lists
+    merged_v = np.asarray(res_v, np.float64)
+    merged_w = np.asarray(res_w, np.float64)
 
     order = np.argsort(merged_v, kind="stable")
     v = merged_v[order]

@@ -142,10 +142,14 @@ def prune_touched_distributed(table, src_files, *, batch_size: int = 65536):
 
 
 def _merge_partition(group: pa.Table, *, root, job_id, target_bytes,
-                     key_col: str = "image_id", failpoint=None) -> pa.Table:
+                     key_col: str = "image_id", failpoint=None,
+                     delete_col: str | None = None) -> pa.Table:
     """map_groups upsert (stateless TASK): one group = one hash partition of
     both sides; vectorized anti-join keeps unmatched target rows, source rows
-    win.  Idempotent via the lineage journal + content-addressed writes."""
+    win.  With ``delete_col`` set, source rows flagged true are WHEN MATCHED
+    THEN DELETE markers: matched target rows are dropped and the marker row
+    is never inserted (an unmatched marker is a no-op).  Idempotent via the
+    lineage journal + content-addressed writes."""
     from ..sources.fragments import metas_to_batch, write_table_as_fragments
 
     part = group[PART_COL][0].as_py()
@@ -158,18 +162,31 @@ def _merge_partition(group: pa.Table, *, root, job_id, target_bytes,
     side = group[SIDE_COL].to_numpy()
     tgt = group.filter(pa.array(side == 0))
     src = group.filter(pa.array(side == 1))
+    deletes = 0
     if src.num_rows:
-        # source-internal dups: keep the LAST occurrence per key
+        # source-internal dups: keep the LAST occurrence per key (a key that
+        # appears as both upsert and delete marker resolves to the last row)
         sk = src[key_col].to_pylist()
         last = {k: i for i, k in enumerate(sk)}
         if len(last) != src.num_rows:
             src = src.take(pa.array(sorted(last.values())))
+        if delete_col and delete_col in src.column_names:
+            dmask = pc.fill_null(pc.cast(src[delete_col], pa.bool_()), False)
+            del_keys = src.filter(dmask)[key_col].combine_chunks()
+            src = src.filter(pc.invert(dmask))
+            if len(del_keys):
+                hit_del = pc.is_in(tgt[key_col], value_set=del_keys)
+                deletes = int(pc.sum(hit_del).as_py() or 0)
+                tgt = tgt.filter(pc.invert(hit_del))
         # anti-join: target rows whose key is absent from source survive
         keep = pc.invert(pc.is_in(tgt[key_col], value_set=src[key_col]))
         merged = pa.concat_tables([tgt.filter(keep), src]).combine_chunks()
     else:
         merged = tgt
-    merged = merged.drop_columns([SIDE_COL, PART_COL])
+    drop = [SIDE_COL, PART_COL]
+    if delete_col and delete_col in merged.column_names:
+        drop.append(delete_col)
+    merged = merged.drop_columns(drop)
     metas = write_table_as_fragments(
         root, merged, target_bytes=target_bytes, name_parts=(job_id, pid),
     )
@@ -182,7 +199,8 @@ def _merge_partition(group: pa.Table, *, root, job_id, target_bytes,
             rows=merged.num_rows,
             bytes=sum(m.bytes for m in metas),
             extra={"updates": int(tgt.num_rows - (merged.num_rows - src.num_rows)),
-                   "inserts": int(merged.num_rows - tgt.num_rows)},
+                   "inserts": int(merged.num_rows - tgt.num_rows),
+                   "deletes": deletes},
         ),
     )
     return metas_to_batch(metas)
@@ -190,8 +208,14 @@ def _merge_partition(group: pa.Table, *, root, job_id, target_bytes,
 
 def run_merge(table, source_ds, *, job_id: str | None = None,
               num_partitions: int | None = None, failpoint: int | None = None,
-              max_driver_keys: int = 5_000_000):
-    """MERGE source_ds INTO table ON image_id; returns (new_table, report)."""
+              max_driver_keys: int = 5_000_000,
+              delete_col: str | None = None):
+    """MERGE source_ds INTO table ON image_id; returns (new_table, report).
+
+    ``delete_col``: name of a boolean column on the source marking WHEN
+    MATCHED THEN DELETE rows — matched target rows are deleted, the marker
+    rows are never inserted, unmatched markers are no-ops.  Honored by both
+    physical plans (hash co-group and GRAFT_MERGE=cow)."""
     from ..sources.fragments import batch_to_metas
 
     import glob
@@ -227,10 +251,11 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
 
         from ..sources.fragments import column_compression
 
+        stage_schema = table.schema.append(pa.field(SIDE_COL, pa.int8()))
+        if delete_col:
+            stage_schema = stage_schema.append(pa.field(delete_col, pa.bool_()))
         source_ds.map_batches(tag_src, batch_format="pyarrow").write_parquet(
-            src_dir,
-            compression=column_compression(
-                table.schema.append(pa.field(SIDE_COL, pa.int8()))))
+            src_dir, compression=column_compression(stage_schema))
         with open(marker, "w") as f:
             f.write("ok")
     src_files = sorted(
@@ -276,6 +301,9 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
     touched = [f for f in table.fragments if f.fragment_id in touched_set]
 
     read_schema = table.schema.append(pa.field(SIDE_COL, pa.int8()))
+    if delete_col:
+        # target fragments lack the marker column → null-filled (= keep)
+        read_schema = read_schema.append(pa.field(delete_col, pa.bool_()))
     nblocks = max(P, 2 * int(ray.cluster_resources().get("CPU", 8)))
     both_paths = table.fragment_paths(touched) + src_files
     if not both_paths:  # empty source on empty/unmatched table: nothing to do
@@ -294,7 +322,8 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     reduce_kwargs = dict(root=table.root, job_id=job_id,
-                         target_bytes=cfg.target_fragment_bytes, failpoint=failpoint)
+                         target_bytes=cfg.target_fragment_bytes,
+                         failpoint=failpoint, delete_col=delete_col)
     add = []
     merge_mode = os.environ.get("GRAFT_MERGE", getattr(cfg, "merge_strategy", "shuffle"))
     strategy = os.environ.get("GRAFT_SHUFFLE", cfg.shuffle_strategy)
@@ -305,7 +334,8 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
         from .merge_cow import cow_merge
 
         cow_merge(table, src_files, touched, job_id=job_id,
-                  target_bytes=cfg.target_fragment_bytes, failpoint=failpoint)
+                  target_bytes=cfg.target_fragment_bytes, failpoint=failpoint,
+                  delete_col=delete_col)
     elif strategy == "fs":
         # storage-partitioned shuffle (see stages/fs_shuffle.py and the same
         # block in clustering.py); completed partitions short-circuit via
@@ -342,6 +372,7 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
     rows = sum(rec.rows for rec in records.values())
     updates = sum(rec.extra.get("updates", 0) for rec in records.values())
     inserts = sum(rec.extra.get("inserts", 0) for rec in records.values())
+    deletes = sum(rec.extra.get("deletes", 0) for rec in records.values())
     elapsed = time.time() - t0
     new_table = table.commit(
         operation="merge",
@@ -350,7 +381,7 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
         summary={"job_id": job_id, "partitions": P, "touched_fragments": len(touched_set),
                  "untouched_fragments": len(table.fragments) - len(touched_set),
                  "rows": rows, "updates": updates, "inserts": inserts,
-                 "seconds": round(elapsed, 3)},
+                 "deletes": deletes, "seconds": round(elapsed, 3)},
     )
     ph["commit"] = round(time.time() - t0 - sum(ph.values()), 3)
     report = dict(new_table.manifest.summary)

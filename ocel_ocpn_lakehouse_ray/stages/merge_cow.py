@@ -31,10 +31,12 @@ jobs' scaling floor (BASELINE.md), so halving bytes-through-disk is the same
 win a 4N-node store gets from 4× aggregate bandwidth.
 
 Scale notes: the routing table broadcast is (min, max, bloom_bits) per
-TOUCHED fragment — bounded by the merge's blast radius, not the table; at
-10^12 rows with millions of touched fragments the per-batch candidate scan
-should use a sorted interval index (searchsorted on fragment min bounds)
-instead of the linear fragment loop used here.  Duplicate source keys get a
+TOUCHED fragment — bounded by the merge's blast radius, not the table — plus
+an elementary-segment interval index (build_interval_index) so each batch
+routes in O(n log F + candidates) instead of scanning every touched fragment;
+at millions of touched fragments the per-batch work stays proportional to the
+keys' actual overlap, with a linear fallback only under pathological range
+overlap (cap documented on the builder).  Duplicate source keys get a
 single arbitrary winner (same contract as the shuffle strategy, whose
 winner is concat-order-dependent); duplicate keys ACROSS table fragments
 (which the verify gate forbids) would be updated in every fragment that
@@ -76,8 +78,82 @@ def _write_matched(root: str, job_id: str, fragment_id: str, keys) -> str:
     return path
 
 
+def build_interval_index(frags):
+    """Elementary-segment interval index over the touched fragments' key
+    ranges — the sub-linear routing structure the module's scale note calls
+    for.  ``pts`` is the sorted distinct set of all fragment min/max bounds;
+    segment ``j`` covers keys in ``[pts[j], pts[j+1])`` (the last segment is
+    open-ended) and ``seg_lists[j]`` holds the fragment indices whose range
+    intersects that segment.  A key routes via ONE binary search; segment
+    membership over-approximates only within the segment that starts at a
+    fragment's max bound, and the caller re-checks exact min/max on the
+    candidate rows, so no false negatives and bounded false positives.
+
+    Returns None (→ linear fallback) when no fragment has bounds or when
+    heavy range overlap would blow the index up quadratically (cap: 64
+    fragment entries per segment on average)."""
+    bounded = [(i, f[2], f[3]) for i, f in enumerate(frags) if f[2] is not None]
+    unbounded = [i for i, f in enumerate(frags) if f[2] is None]
+    if not bounded:
+        return None
+    pts = np.array(sorted({b for _, mn, mx in bounded for b in (mn, mx)}),
+                   dtype=object)
+    seg_lists: list[list[int]] = [[] for _ in range(len(pts))]
+    total = 0
+    cap = 64 * len(bounded)
+    for i, mn, mx in bounded:
+        jm = int(np.searchsorted(pts, mn, side="right")) - 1
+        jM = int(np.searchsorted(pts, mx, side="right")) - 1
+        total += jM - jm + 1
+        if total > cap:
+            return None  # pathological overlap → linear scan is no worse
+        for j in range(jm, jM + 1):
+            seg_lists[j].append(i)
+    return pts, seg_lists, unbounded
+
+
+def candidate_rows(index, frags, keys_np: np.ndarray) -> dict[int, np.ndarray]:
+    """fragment index → row indices of keys whose value lies inside that
+    fragment's exact [min, max] range.  With an index the per-batch work is
+    O(n log F + total candidates) — independent of the touched-fragment
+    count F; without one it degrades to the linear per-fragment scan."""
+    n = len(keys_np)
+    out: dict[int, np.ndarray] = {}
+    if index is None:
+        for fidx, (_fid, _p, mn, mx, _b, _k) in enumerate(frags):
+            if mn is None:
+                out[fidx] = np.arange(n)
+                continue
+            m = (keys_np >= mn) & (keys_np <= mx)
+            if m.any():
+                out[fidx] = np.nonzero(m)[0]
+        return out
+    pts, seg_lists, unbounded = index
+    for fidx in unbounded:
+        out[fidx] = np.arange(n)
+    seg = np.searchsorted(pts, keys_np, side="right") - 1
+    uniq, inv = np.unique(seg, return_inverse=True)
+    acc: dict[int, list] = {}
+    for si, s in enumerate(uniq):
+        if s < 0:
+            continue  # key below every fragment's min
+        rows = np.nonzero(inv == si)[0]
+        for fidx in seg_lists[int(s)]:
+            acc.setdefault(fidx, []).append(rows)
+    for fidx, parts in acc.items():
+        rows = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        mn, mx = frags[fidx][2], frags[fidx][3]
+        k = keys_np[rows]
+        rows = rows[(k >= mn) & (k <= mx)]
+        if rows.size:
+            rows.sort()
+            out[fidx] = rows
+    return out
+
+
 def _routing_ref(table, touched):
-    """Broadcast payload: per touched fragment (id, path, min, max, bloom)."""
+    """Broadcast payload: per touched fragment (id, path, min, max, bloom)
+    plus the interval index built ONCE here on the driver."""
     import ray
 
     frags = []
@@ -93,7 +169,7 @@ def _routing_ref(table, touched):
                 bits = None  # corrupt/missing sidecar → range-only routing
         frags.append((f.fragment_id, f.path, st.get("min"), st.get("max"),
                       bits, k))
-    return ray.put(frags)
+    return ray.put({"frags": frags, "index": build_interval_index(frags)})
 
 
 def _route_batches(frags_ref, key_col: str = "image_id", *,
@@ -109,7 +185,8 @@ def _route_batches(frags_ref, key_col: str = "image_id", *,
     def route(batch: pa.Table) -> pa.Table:
         import ray as _r
 
-        frags = _r.get(frags_ref)
+        payload = _r.get(frags_ref)
+        frags, index = payload["frags"], payload["index"]
         if "__side" in batch.column_names:
             batch = batch.drop_columns(["__side"])
         out_schema = batch.schema.append(pa.field(FRAG_COL, pa.int32()))
@@ -117,24 +194,22 @@ def _route_batches(frags_ref, key_col: str = "image_id", *,
             return out_schema.empty_table()
         col = batch[key_col]
         n = batch.num_rows
+        keys_np = np.asarray(col.to_pylist(), dtype=object)
+        cands = candidate_rows(index, frags, keys_np)
         h1 = h2 = None
         claimed = np.zeros(n, bool)
         outs = []
-        for fidx, (_fid, _path, mn, mx, bits, k) in enumerate(frags):
-            if mn is None:
-                mask = np.ones(n, bool)
-            else:
-                m = pc.and_(pc.greater_equal(col, pa.scalar(mn)),
-                            pc.less_equal(col, pa.scalar(mx)))
-                mask = m.to_numpy(zero_copy_only=False).astype(bool)
-            if bits is not None and mask.any():
+        for fidx in sorted(cands):
+            rows = cands[fidx]
+            bits, k = frags[fidx][4], frags[fidx][5]
+            if bits is not None and rows.size:
                 if h1 is None:
-                    h1, h2 = bl.key_hashes(col.to_pylist())
-                idx = np.nonzero(mask)[0]
-                hit = bl.might_contain_hashes(bits, h1[idx], h2[idx], k)
+                    h1, h2 = bl.key_hashes(keys_np)
+                hit = bl.might_contain_hashes(bits, h1[rows], h2[rows], k)
+                rows = rows[hit]
+            if rows.size:
                 mask = np.zeros(n, bool)
-                mask[idx[hit]] = True
-            if mask.any():
+                mask[rows] = True
                 sub = batch.filter(pa.array(mask))
                 outs.append(sub.append_column(
                     FRAG_COL, pa.array([fidx] * sub.num_rows, pa.int32())))
@@ -163,7 +238,8 @@ def _dedup_keep_one(tbl: pa.Table, key_col: str) -> pa.Table:
 
 def cow_merge(table, src_files: list[str], touched, *, job_id: str,
               target_bytes: int, failpoint: int | None = None,
-              num_insert_parts: int | None = None) -> None:
+              num_insert_parts: int | None = None,
+              delete_col: str | None = None) -> None:
     """Execute the copy-on-write merge; results land in the job's lineage
     journal (the caller aggregates records and commits, same as the shuffle
     strategy).  Idempotent/resumable per fragment and per insert partition."""
@@ -191,9 +267,22 @@ def cow_merge(table, src_files: list[str], touched, *, job_id: str,
         if failpoint is not None and fidx >= failpoint:
             raise RuntimeError(f"failpoint: simulated crash at {pid}")
         src = _dedup_keep_one(group.drop_columns([FRAG_COL]), "image_id")
+        deletes = 0
+        if delete_col and delete_col in src.column_names:
+            dmask = pc.fill_null(pc.cast(src[delete_col], pa.bool_()), False)
+            dels = src.filter(dmask)
+            src = src.filter(pc.invert(dmask)).drop_columns([delete_col])
+        else:
+            dels = None
         tgt = pq.read_table(os.path.join(root, frag_paths[fidx]))
         hit = pc.is_in(tgt["image_id"], value_set=src["image_id"].combine_chunks())
-        # matched = source keys actually present in THIS fragment
+        if dels is not None and dels.num_rows:
+            hit_del = pc.is_in(tgt["image_id"],
+                               value_set=dels["image_id"].combine_chunks())
+            deletes = int(pc.sum(hit_del).as_py() or 0)
+            hit = pc.or_(hit, hit_del)
+        # matched = source keys actually present in THIS fragment (upsert AND
+        # delete matches — both are consumed, so the insert pass skips them)
         matched = tgt.filter(hit)["image_id"]
         applied = src.filter(pc.is_in(src["image_id"],
                                       value_set=matched.combine_chunks()))
@@ -208,7 +297,8 @@ def cow_merge(table, src_files: list[str], touched, *, job_id: str,
             frags_out=[m.to_dict() for m in metas],
             rows=merged.num_rows,
             bytes=sum(m.bytes for m in metas),
-            extra={"updates": int(applied.num_rows), "inserts": 0},
+            extra={"updates": int(applied.num_rows), "inserts": 0,
+                   "deletes": deletes},
         ))
         return metas_to_batch(metas)
 
@@ -233,9 +323,18 @@ def cow_merge(table, src_files: list[str], touched, *, job_id: str,
         for p in (os.listdir(_matched_dir(root, job_id))
                   if os.path.isdir(_matched_dir(root, job_id)) else [])
         if p.endswith(".parquet"))
+    def _strip(b: pa.Table) -> pa.Table:
+        if "__side" in b.column_names:
+            b = b.drop_columns(["__side"])
+        if delete_col and delete_col in b.column_names:
+            # WHEN MATCHED THEN DELETE markers never insert: an unmatched
+            # marker is a no-op, a matched one was consumed by its fragment
+            dmask = pc.fill_null(pc.cast(b[delete_col], pa.bool_()), False)
+            b = b.filter(pc.invert(dmask)).drop_columns([delete_col])
+        return b
+
     src_ds = ray.data.read_parquet(src_files).map_batches(
-        lambda b: b.drop_columns(["__side"]) if "__side" in b.column_names else b,
-        batch_format="pyarrow")
+        _strip, batch_format="pyarrow")
     max_bcast = int(os.environ.get("GRAFT_COW_BCAST_KEYS", "2000000"))
     n_matched = sum(pq.ParquetFile(p).metadata.num_rows for p in matched_files)
     if not matched_files:

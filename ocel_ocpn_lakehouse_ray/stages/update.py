@@ -10,6 +10,15 @@ SET expressions (applied in order to rows matching the WHERE predicates):
   {"column": c, "set": v}                       -> constant assignment
   {"column": c, "scale": f}                     -> numeric col * f
   {"column": c, "prefix": s}                    -> string s + col
+  {"column": c, "binop": B}                     -> column-from-column arithmetic
+  {"column": c, "case": {"when": P, "then": V, "else": V?}}
+                                                -> conditional (CASE WHEN) set
+
+where B = {"op": "+|-|*|/", "lhs": V, "rhs": V} and a value spec V is
+{"col": name} | {"lit": value} | {"binop": B} (nestable); "case" uses the
+same predicate dicts as WHERE and falls back to the current value when
+"else" is omitted.  Everything evaluates as vectorized pyarrow.compute
+kernels — no per-row Python in the rewrite tasks.
 """
 
 from __future__ import annotations
@@ -30,6 +39,25 @@ from .delete import (
 )
 
 
+_BINOPS = {"+": pc.add, "-": pc.subtract, "*": pc.multiply, "/": pc.divide}
+
+
+def _eval_value(tbl: pa.Table, spec: dict):
+    """Value spec → Arrow array/scalar: {"col": name} | {"lit": v} |
+    {"binop": {"op", "lhs", "rhs"}} (nestable)."""
+    if "col" in spec:
+        return tbl[spec["col"]]
+    if "lit" in spec:
+        return pa.scalar(spec["lit"])
+    if "binop" in spec:
+        b = spec["binop"]
+        if b["op"] not in _BINOPS:
+            raise ValueError(f"unsupported binop {b['op']!r}")
+        return _BINOPS[b["op"]](_eval_value(tbl, b["lhs"]),
+                                _eval_value(tbl, b["rhs"]))
+    raise ValueError(f"unsupported value spec {spec!r}")
+
+
 def _apply_sets(tbl: pa.Table, mask, sets: list[dict]) -> pa.Table:
     for s in sets:
         col = tbl[s["column"]]
@@ -40,6 +68,15 @@ def _apply_sets(tbl: pa.Table, mask, sets: list[dict]) -> pa.Table:
         elif "prefix" in s:
             new = pc.binary_join_element_wise(
                 pa.array([s["prefix"]] * tbl.num_rows), pc.cast(col, pa.string()), "")
+        elif "binop" in s:
+            new = pc.cast(_eval_value(tbl, {"binop": s["binop"]}), col.type)
+        elif "case" in s:
+            c = s["case"]
+            cm = _match_expr(tbl, c["when"])
+            then = pc.cast(_eval_value(tbl, c["then"]), col.type)
+            els = (pc.cast(_eval_value(tbl, c["else"]), col.type)
+                   if "else" in c else col)
+            new = pc.if_else(cm, then, els)
         else:
             raise ValueError(f"unsupported SET expression {s!r}")
         merged = pc.if_else(mask, new, col)

@@ -1,0 +1,288 @@
+"""Round-4 VERDICT items: interval-index cow-merge routing (sub-linear in
+touched-fragment count), plus follow-on round-4 operator upgrades."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocel_ocpn_lakehouse_ray.stages.merge_cow import (
+    build_interval_index,
+    candidate_rows,
+)
+
+
+def _frag(fid, mn, mx):
+    # (fragment_id, path, min, max, bloom_bits, k) — bloom-less entry
+    return (fid, f"data/{fid}.parquet", mn, mx, None, 4)
+
+
+def test_interval_index_equivalent_to_linear_scan_random_overlap():
+    rng = np.random.default_rng(7)
+    frags = []
+    for i in range(200):
+        lo = int(rng.integers(0, 10_000))
+        hi = lo + int(rng.integers(0, 400))
+        frags.append(_frag(f"f{i:04d}", f"k{lo:06d}", f"k{hi:06d}"))
+    frags.append(_frag("fnone", None, None))  # stat-less → matches all
+    idx = build_interval_index(frags)
+    assert idx is not None
+    keys = np.array(
+        [f"k{int(v):06d}" for v in rng.integers(0, 11_000, size=500)],
+        dtype=object)
+    got = candidate_rows(idx, frags, keys)
+    want = candidate_rows(None, frags, keys)
+    assert set(got) == set(want)
+    for f in got:
+        assert np.array_equal(np.sort(got[f]), np.sort(want[f])), f
+
+
+def test_interval_index_routing_is_sublinear_in_fragment_count():
+    """1200 disjoint touched fragments, a batch touching 3 of them: the
+    candidate map must contain exactly those 3 — per-batch routing work is
+    proportional to the keys' overlap, not the fragment count."""
+    F = 1200
+    frags = [_frag(f"f{i:05d}", f"k{i * 100:08d}", f"k{i * 100 + 99:08d}")
+             for i in range(F)]
+    idx = build_interval_index(frags)
+    assert idx is not None
+    keys = np.array(["k" + s for s in
+                     ("00000350", "00065010", "00119999", "99999999")],
+                    dtype=object)  # frags 3, 650, 1199; last key beyond all
+    got = candidate_rows(idx, frags, keys)
+    assert set(got) == {3, 650, 1199}
+    assert [got[3].tolist(), got[650].tolist(), got[1199].tolist()] == \
+        [[0], [1], [2]]
+
+
+@pytest.mark.parametrize("mode", ["shuffle", "cow"])
+def test_merge_when_matched_then_delete(tmp_path, mode, monkeypatch):
+    """MERGE with delete markers (WHEN MATCHED THEN DELETE): matched target
+    rows vanish, markers never insert, unmatched markers are no-ops —
+    identical under both physical plans, pinned by a DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from ocel_ocpn_lakehouse_ray.sources.generator import (
+        create_image_table,
+        gen_batch,
+        gen_update_batch,
+    )
+    from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
+    from ocel_ocpn_lakehouse_ray.stages.verify import scan_equivalence
+
+    monkeypatch.setenv("GRAFT_MERGE", mode)
+    n, seed = 300, 21
+    t = create_image_table(str(tmp_path / mode), n, num_fragments=8, seed=seed)
+    upd_ids = np.arange(0, 60, 4)            # 15 updates
+    del_ids = np.arange(1, 41, 4)            # 10 matched deletes (disjoint)
+    ghost_ids = np.arange(3) + 7 * 10**11    # unmatched delete markers: no-ops
+    new_ids = np.arange(12) + 9 * 10**11     # 12 inserts
+
+    def flag(tbl, v):
+        return tbl.append_column("__del", pa.array([v] * tbl.num_rows))
+
+    src_tbl = pa.concat_tables([
+        flag(gen_update_batch(upd_ids, seed), False),
+        flag(gen_batch(new_ids, seed + 7), False),
+        flag(gen_batch(del_ids, seed), True),
+        flag(gen_batch(ghost_ids, seed + 9), True),
+    ])
+    t2, rep = run_merge(t, ray.data.from_arrow(src_tbl),
+                        job_id=f"mdel-{mode}", delete_col="__del")
+    assert rep["deletes"] == len(del_ids)
+    assert rep["inserts"] == len(new_ids)
+    assert rep["updates"] == len(upd_ids)
+
+    # duckdb oracle over the deterministic generator inputs
+    con = duckdb.connect()
+    con.register("tgt", gen_batch(np.arange(n), seed)
+                 .select(["image_id", "caption"]))
+    con.register("src", src_tbl.select(["image_id", "caption", "__del"]))
+    oracle = con.sql("""
+        SELECT image_id, caption FROM tgt
+        WHERE image_id NOT IN (SELECT image_id FROM src)
+        UNION ALL
+        SELECT image_id, caption FROM src WHERE NOT __del
+        ORDER BY image_id
+    """).arrow()
+    got = (t2.to_dataset(columns=["image_id", "caption"]).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    assert got["image_id"].tolist() == oracle["image_id"].to_pylist()
+    assert got["caption"].tolist() == oracle["caption"].to_pylist()
+
+    # full-bytes scan equivalence against the expected surviving rows
+    ids = np.arange(n)
+    survive = ids[~np.isin(ids, np.concatenate([upd_ids, del_ids]))]
+    expect = pa.concat_tables([
+        gen_batch(survive, seed),
+        gen_update_batch(upd_ids, seed),
+        gen_batch(new_ids, seed + 7),
+    ])
+    se = scan_equivalence(t2.to_dataset(), ray.data.from_arrow(expect),
+                          num_parts=4)
+    assert se["passed"], se
+
+
+def test_levenshtein_banded_matches_exact_and_prunes():
+    import random
+
+    from ocel_ocpn_lakehouse_ray.pipelines.predictive import (
+        levenshtein,
+        levenshtein_banded,
+    )
+
+    rng = random.Random(11)
+    alpha = "abcdefg"
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        d = levenshtein(a, b)
+        for cutoff in (0, 1, 3, d, d + 2, 50):
+            got = levenshtein_banded(a, b, cutoff)
+            if d <= cutoff:
+                assert got == d, (a, b, cutoff)
+            else:
+                assert got > cutoff, (a, b, cutoff)
+    assert levenshtein_banded("xyz", "xyz", None) == 0
+    assert levenshtein_banded("abc", "abd", None) == 1
+
+
+def test_levenshtein_banded_long_trace_stress():
+    """Corpus-scale long traces: the banded DP with a small cutoff must be
+    orders of magnitude cheaper than the full DP (the top-k radius prune)."""
+    import time
+
+    from ocel_ocpn_lakehouse_ray.pipelines.predictive import (
+        levenshtein,
+        levenshtein_banded,
+    )
+
+    a = "ab" * 4000                      # 8000 chars
+    b = "ab" * 3999 + "cd"               # close to a
+    t0 = time.perf_counter()
+    d = levenshtein_banded(a, b, 16)
+    banded_s = time.perf_counter() - t0
+    assert d == levenshtein(a, b) <= 16
+    # far apart: early exit well before the full DP finishes
+    c = "zq" * 4000
+    t0 = time.perf_counter()
+    assert levenshtein_banded(a, c, 16) > 16
+    early_s = time.perf_counter() - t0
+    assert banded_s < 2.0 and early_s < 2.0  # full DP is 64M cells — seconds
+
+
+def test_similar_cases_single_events_scan(monkeypatch):
+    """VERDICT r3 #4: q_similar_cases derives the query trace, min user, and
+    all distances from ONE events read."""
+    import ocel_ocpn_lakehouse_ray.pipelines.predictive as pred
+
+    calls = []
+    real = pred._read
+
+    def counting(sf_dir, table, **kw):
+        calls.append(table)
+        return real(sf_dir, table, **kw)
+
+    monkeypatch.setattr(pred, "_read", counting)
+    out = pred.q_similar_cases("/root/testdata/sf0.001").to_pandas()
+    assert calls == ["events"]
+    assert 0 < len(out) <= pred.TOP_K_SIMILAR  # sf0.001 has few users
+    assert out["distance"].is_monotonic_increasing
+
+
+def test_gc_sweeps_bloom_sidecars_after_dml_lifecycle(tmp_path, monkeypatch):
+    """DML + snapshot expiry + GC must leave ZERO orphans — including the
+    .bloom key sidecars of fragments removed by DELETE/UPDATE/MERGE."""
+    import os
+
+    import ray
+
+    from ocel_ocpn_lakehouse_ray.sources.generator import (
+        create_image_table,
+        merge_source_dataset,
+    )
+    from ocel_ocpn_lakehouse_ray.stages.delete import run_delete
+    from ocel_ocpn_lakehouse_ray.stages.gc import (
+        expire_snapshots,
+        fsck,
+        garbage_collect,
+    )
+    from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
+    from ocel_ocpn_lakehouse_ray.stages.update import run_update
+
+    monkeypatch.setenv("GRAFT_MERGE", "shuffle")
+    root = str(tmp_path / "t")
+    t = create_image_table(root, 200, num_fragments=6, seed=15)
+    data_dir = os.path.join(root, "data")
+    blooms_before = {f for f in os.listdir(data_dir) if f.endswith(".bloom")}
+    assert blooms_before, "fixture should write bloom sidecars"
+
+    t, _ = run_merge(t, merge_source_dataset(200, seed=15, num_blocks=2),
+                     job_id="gc-m")
+    t, _ = run_delete(t, [{"column": "w", "op": "eq", "value": 32}],
+                      job_id="gc-d")
+    t, _ = run_update(t, [{"column": "w", "op": "eq", "value": 64}],
+                      [{"column": "h", "set": 7}], job_id="gc-u")
+
+    expire_snapshots(root, keep_last=1)
+    garbage_collect(root, orphan_grace_seconds=0.0,
+                    now=__import__("time").time() + 10)
+    rep = fsck(root)
+    assert rep["orphans"] == [], rep
+    assert rep["missing"] == []
+    # every surviving .bloom belongs to a live fragment
+    live = {f.fragment_id for f in t.fragments}
+    for name in os.listdir(data_dir):
+        if name.endswith(".bloom"):
+            assert name.rsplit(".", 1)[0] in live, name
+    # and the table still reads
+    assert t.to_dataset().count() == t.manifest.total_rows
+
+
+def test_update_expression_sets_match_duckdb(tmp_path):
+    """Column-from-column arithmetic and CASE-style conditional SET
+    expressions, pinned against a DuckDB UPDATE oracle."""
+    import duckdb
+
+    from ocel_ocpn_lakehouse_ray.sources.generator import create_image_table
+    from ocel_ocpn_lakehouse_ray.stages.update import run_update
+
+    t = create_image_table(str(tmp_path / "t"), 200, num_fragments=6, seed=5)
+    before = t.to_arrow(columns=["image_id", "w", "h", "fmt"])
+    preds = [{"column": "w", "op": "between", "lo": 32, "hi": 128}]
+    sets = [
+        {"column": "h", "binop": {
+            "op": "+", "lhs": {"col": "h"},
+            "rhs": {"binop": {"op": "*", "lhs": {"col": "w"},
+                              "rhs": {"lit": 2}}}}},
+        {"column": "fmt", "case": {
+            "when": [{"column": "fmt", "op": "eq", "value": "png"}],
+            "then": {"lit": "PNG"}}},
+    ]
+    t2, rep = run_update(t, preds, sets, job_id="upd-expr")
+    assert rep["updated"] > 0
+
+    con = duckdb.connect()
+    con.register("b", before)
+    oracle = con.sql("""
+        SELECT image_id, w,
+               CASE WHEN w BETWEEN 32 AND 128 THEN h + w * 2 ELSE h END AS h,
+               CASE WHEN w BETWEEN 32 AND 128 AND fmt = 'png'
+                    THEN 'PNG' ELSE fmt END AS fmt
+        FROM b ORDER BY image_id
+    """).arrow()
+    got = (t2.to_dataset(columns=["image_id", "w", "h", "fmt"]).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    for c in ("image_id", "w", "h", "fmt"):
+        assert got[c].tolist() == oracle[c].to_pylist(), c
+
+
+def test_interval_index_pathological_overlap_falls_back_to_linear():
+    # nested ranges (frag i spans [0, i]) → O(F^2) segment entries → None
+    frags = [_frag(f"f{i:04d}", "k000000", f"k{i:06d}") for i in range(200)]
+    assert build_interval_index(frags) is None
+    keys = np.array(["k000100"], dtype=object)
+    got = candidate_rows(None, frags, keys)
+    assert set(got) == set(range(100, 200))  # linear fallback still exact
