@@ -234,8 +234,11 @@ def main(argv=None):
 
         from .pipelines.nl import answer
 
+        from .pipelines.nl import plan as nl_plan
+
         if not args.question:
             raise SystemExit("ask requires --question")
+        hints = nl_plan(args.question)
         name, result = answer(args.question, args.sf_dir, _entry.queries())
         try:
             import pandas as _pd
@@ -246,7 +249,10 @@ def main(argv=None):
             rows = len(result)
         except Exception:
             rows = None
-        out = {"intent": name, "rows": rows}
+        out = {"intent": name, "rows": rows, "params": hints["params"],
+               "plan": {k: hints[k] for k in
+                        ("execution_strategy", "estimated_time_ms",
+                         "recommendations")}}
     elif args.command == "verify":
         import numpy as np
         import ray.data

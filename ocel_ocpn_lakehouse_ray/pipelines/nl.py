@@ -27,6 +27,7 @@ _INTENT_PATTERNS: list[tuple[str, str]] = [
     (r"\bnear.?dup\w*\b.*\bimage|\bimage\b.*\bnear.?dup\w*", "image_near_dup"),
     (r"\bdedup\w*\b.*\bembedding|\bembedding\b.*\bdedup\w*", "embedding_dedup"),
     (r"\bexact\s+dedup\w*\b|\bduplicates?\b", "dedup_exact"),
+    (r"\bsimilar\s+(cases?|traces?|journeys?)\b", "similar_cases"),
     (r"\bsimilar\w*\b|\bnearest\s+neighbou?rs?\b|\bknn\b", "knn_bruteforce"),
     (r"\blanguages?\b", "lang_distribution"),
     (r"\btokens?\b", "token_counts"),
@@ -34,10 +35,29 @@ _INTENT_PATTERNS: list[tuple[str, str]] = [
     (r"\bnulls?\b|\bmissing\s+values?\b", "null_quality"),
     (r"\bdistinct\b|\bunique\s+types?\b", "distinct_types"),
     (r"\bpetri\b|\bocpn\b", "petri_arcs"),
+    # widened synonym vocabulary (reference `nl_query_agent.py:41-121`
+    # carries time ranges / instance ids / prediction phrasings)
+    (r"\bnext\s+(activity|step)\b|\btransitions?\b|\bwhat\s+happens\s+after\b",
+     "next_activity"),
+    (r"\bconversion\b|\boutcomes?\b|\bwill\s+.*\b(buy|purchase|convert)",
+     "case_outcome"),
+    (r"\butili[sz]ation\b|\bworkload\b|\bbusiest\b|\bresources?\b",
+     "resource_utilization"),
+    (r"\bkpis?\b|\bdashboards?\b|\bexecutive\b|\boverview\b",
+     "executive_kpis"),
+    (r"\bvolatilit\w+\b|\bhourly\b|\bby\s+hour\b", "hourly_volatility"),
+    (r"\bsamples?\b|\bsampling\b", "hash_sample"),
+    (r"\bminhash\b|\blsh\b|\bshingl\w+\b", "minhash_lsh_pairs"),
+    (r"\bsimhash\b", "simhash"),
+    (r"\bjaccard\b|\bn.?grams?\b", "ngram_jaccard"),
+    (r"\bas.?of\b.*\bjoin\b|\bmost\s+recent\s+order\b", "asof_join"),
+    (r"\bfingerprints?\b", "fingerprints"),
+    (r"\bexport\b|\bshards?\b|\btraining\s+data\b", "maint_export_shards"),
     (r"\bcompact", "maint_compaction"),
     (r"\bz.?order|\bcluster", "maint_cluster_zorder"),
     (r"\bmerge\b|\bupsert\b", "maint_merge"),
     (r"\bexpire\b|\bgarbage|\bgc\b", "maint_expire_gc"),
+    (r"\bdelete\b|\bremove\s+rows?\b", "maint_delete"),
 ]
 
 FALLBACK_INTENT = "value_counts"  # reference falls back to a summary query
@@ -53,13 +73,83 @@ def match_intent(text: str) -> tuple[str, bool]:
     return FALLBACK_INTENT, False
 
 
-def route(text: str, registry: dict) -> tuple[str, object]:
-    """→ (query name, callable) from a queries() registry."""
+# ------------------------------------------------------ parameter extraction
+#
+# The reference's agent pulls query parameters out of the free text
+# (`agent/nl_query_agent.py`: top_n counts, instance ids, date ranges).
+# All patterns compiled once (T1).
+
+_P_TOP_N = re.compile(r"\btop\s+(\d+)\b", re.IGNORECASE)
+_P_LAST = re.compile(r"\blast\s+(\d+)\s*(day|hour|week|month)s?\b",
+                     re.IGNORECASE)
+_P_ID = re.compile(r"\b(?:user|case|instance|trace)\s*#?\s*(\d+)\b",
+                   re.IGNORECASE)
+_P_RANGE = re.compile(
+    r"\bfrom\s+(\d{4}-\d{2}-\d{2})\s+(?:to|until|through)\s+"
+    r"(\d{4}-\d{2}-\d{2})\b", re.IGNORECASE)
+_P_SINCE = re.compile(r"\b(?:since|after)\s+(\d{4}-\d{2}-\d{2})\b",
+                      re.IGNORECASE)
+_P_BEFORE = re.compile(r"\b(?:before|until)\s+(\d{4}-\d{2}-\d{2})\b",
+                       re.IGNORECASE)
+_P_TYPE = re.compile(
+    r"\b(?:event\s+type|activity|type)\s+['\"]?([a-z_][\w-]*)['\"]?",
+    re.IGNORECASE)
+
+_LAST_UNIT_HOURS = {"hour": 1, "day": 24, "week": 24 * 7, "month": 24 * 30}
+
+
+def extract_params(text: str) -> dict:
+    """Free-text query parameters: top_n, instance id, date range / lookback
+    window, instance type — the reference agent's parameter vocabulary."""
+    params: dict = {}
+    if m := _P_TOP_N.search(text):
+        params["top_n"] = int(m.group(1))
+    if m := _P_ID.search(text):
+        params["instance_id"] = int(m.group(1))
+    if m := _P_RANGE.search(text):
+        params["start_date"], params["end_date"] = m.group(1), m.group(2)
+    else:
+        if m := _P_SINCE.search(text):
+            params["start_date"] = m.group(1)
+        if m := _P_BEFORE.search(text):
+            params["end_date"] = m.group(1)
+    if m := _P_LAST.search(text):
+        params["lookback_hours"] = int(m.group(1)) * \
+            _LAST_UNIT_HOURS[m.group(2).lower()]
+    if m := _P_TYPE.search(text):
+        params["instance_type"] = m.group(1)
+    return params
+
+
+def route(text: str, registry: dict) -> tuple[str, object, dict]:
+    """→ (query name, callable, extracted params) from a queries() registry."""
     name, _ = match_intent(text)
-    return name, registry[name]
+    return name, registry[name], extract_params(text)
 
 
 def answer(text: str, sf_dir: str, registry: dict):
-    """One-shot: route and execute."""
-    name, fn = route(text, registry)
-    return name, fn(sf_dir)
+    """One-shot: route and execute, forwarding only the extracted parameters
+    the callable's signature actually accepts (registry entries keep the
+    uniform ``fn(sf_dir)`` contract; parameter-aware entries opt in)."""
+    import inspect
+
+    name, fn, params = route(text, registry)
+    try:
+        accepted = set(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        accepted = set()
+    kwargs = {k: v for k, v in params.items() if k in accepted}
+    return name, fn(sf_dir, **kwargs)
+
+
+def plan(text: str, *, mv_exists=None, stats=None) -> dict:
+    """Advisory plan for a free-text question: intent + params + the
+    optimizer's rewrite hints (state/query_cache.plan_query)."""
+    from ..state.query_cache import plan_query
+
+    name, matched = match_intent(text)
+    params = extract_params(text)
+    out = plan_query(name, params, mv_exists=mv_exists, stats=stats)
+    out["matched"] = matched
+    out["params"] = params
+    return out

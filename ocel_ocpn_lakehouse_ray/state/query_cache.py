@@ -92,6 +92,109 @@ class OptimizerStats:
         }
 
 
+# --------------------------------------------------------------- plan hints
+#
+# Advisory query-plan suggestions — the reference's optimizer emits these
+# alongside its stats (`agent/query_optimizer.py:157-295`:
+# _determine_execution_strategy / _check_materialized_views /
+# _get_partition_strategy / _get_optimization_recommendations).  This engine
+# APPLIES the equivalent rewrites structurally (MV reads, stats pruning,
+# column pushdown), so the hints are a reporting surface: they explain what
+# the planner would do and what the user could add.
+
+_QUERY_COST_MS = {
+    # reference base estimates (`query_optimizer.py:166-183`)
+    "variants": 2000,
+    "similar_cases": 5000,
+    "bottlenecks": 1500,
+    "conformance": 3000,
+    "predictions": 2500,
+}
+
+_QUERY_NOTES = {
+    "variants": "Complex aggregation query",
+    "similar_cases": "Sequence comparison query",
+    "bottlenecks": "Performance analysis query",
+    "conformance": "Model comparison query",
+    "predictions": "ML prediction query",
+}
+
+# query type -> MV that answers it (reference `query_optimizer.py:197-204`,
+# mapped onto this engine's materialized views in pipelines/mv.py)
+_MV_FOR_QUERY = {
+    "variants": "mv_variants",
+    "direct_follows": "mv_dfg",
+    "next_activity": "mv_dfg",
+    "activity_frequencies": "mv_activity_metrics",
+    "bottlenecks": "mv_activity_metrics",
+}
+
+
+def plan_query(query_type: str, parameters: dict | None = None, *,
+               mv_exists=None, stats: "OptimizerStats | None" = None) -> dict:
+    """Advisory execution plan for a named query: strategy, time estimate,
+    partition-pruning opportunity, and rewrite recommendations — the
+    reference's `optimize_query` surface (`agent/query_optimizer.py:157-295`)
+    over this engine's registries.  ``mv_exists(view_name) -> bool`` lets the
+    caller wire in its MV manager; ``stats`` adds ring-buffer-driven hints
+    (repeated patterns -> cache, observed-slow -> flagged)."""
+    parameters = parameters or {}
+    est = float(_QUERY_COST_MS.get(query_type, 1000))
+    notes = []
+    if query_type in _QUERY_NOTES:
+        notes.append(_QUERY_NOTES[query_type])
+    if parameters.get("top_n") is not None and parameters["top_n"] <= 10:
+        est *= 0.5
+        notes.append("Limited result set")
+    if "instance_id" in parameters or "user_id" in parameters:
+        est *= 0.3
+        notes.append("Single instance query")
+
+    view = _MV_FOR_QUERY.get(query_type)
+    use_mv = bool(view and mv_exists and mv_exists(view))
+
+    part = None
+    if parameters.get("start_date") or parameters.get("end_date"):
+        part = {"enabled": True, "column": "ts",
+                "predicate": {"start": parameters.get("start_date"),
+                              "end": parameters.get("end_date")},
+                "estimated_reduction": 0.7}
+    elif parameters.get("instance_type"):
+        part = {"enabled": True, "column": "event_type",
+                "predicate": {"eq": parameters["instance_type"]},
+                "estimated_reduction": 0.5}
+
+    recs = []
+    if not use_mv and query_type in _MV_FOR_QUERY:
+        recs.append(f"Materialize {_MV_FOR_QUERY[query_type]} for this "
+                    "query type (refresh-by-overwrite or incremental)")
+    if parameters.get("top_n") is None or parameters.get("top_n", 100) > 100:
+        recs.append("Limit the result set with a top_n parameter")
+    if est > 5000:
+        recs.append("Break the query into smaller parts")
+    if query_type == "variants" and "instance_type" not in parameters:
+        recs.append("Filter by instance_type to enable stats pruning")
+    if stats is not None:
+        if stats.pattern_counts.get(query_type, 0) >= 3:
+            recs.append("Repeated pattern: serve from the TTL result cache")
+        slow = [r for r in stats.slow_queries() if r["query"] == query_type]
+        if slow:
+            recs.append(
+                f"Observed slow ({max(r['seconds'] for r in slow):.1f}s "
+                "worst); consider an MV or a tighter filter")
+
+    return {
+        "query_type": query_type,
+        "execution_strategy": "materialized_view" if use_mv else "direct",
+        "estimated_time_ms": round(est, 1),
+        "optimization_notes": notes,
+        "use_materialized_view": use_mv,
+        "materialized_view": view if use_mv else None,
+        "partition_strategy": part,
+        "recommendations": recs,
+    }
+
+
 class CachedQueryEngine:
     """Registry wrapper: run-by-name with cache + stats.  ``version_fn``
     supplies the current snapshot version (manifest version or sf_dir)."""

@@ -156,5 +156,89 @@ def test_nl_fallback_and_route():
 
     for _, target in _INTENT_PATTERNS:
         assert target in reg, target
-    name, fn = route("top customers", reg)
-    assert name == "top_customers" and callable(fn)
+    name, fn, params = route("top customers", reg)
+    assert name == "top_customers" and callable(fn) and params == {}
+
+
+@pytest.mark.parametrize("text,expect", [
+    ("what's the next activity after checkout", "next_activity"),
+    ("predict the conversion outcome", "case_outcome"),
+    ("find similar cases to case 42", "similar_cases"),
+    ("resource utilization and workload", "resource_utilization"),
+    ("executive dashboard kpis", "executive_kpis"),
+    ("hourly volatility", "hourly_volatility"),
+    ("minhash lsh candidate pairs", "minhash_lsh_pairs"),
+    ("export training data shards", "maint_export_shards"),
+])
+def test_nl_widened_intents(text, expect):
+    name, matched = match_intent(text)
+    assert matched and name == expect
+
+
+def test_nl_param_extraction():
+    from ocel_ocpn_lakehouse_ray.pipelines.nl import extract_params
+
+    p = extract_params("top 5 similar cases for user #42 from 2026-01-01 "
+                       "to 2026-02-01 over the last 3 days, type 'purchase'")
+    assert p["top_n"] == 5
+    assert p["instance_id"] == 42
+    assert p["start_date"] == "2026-01-01" and p["end_date"] == "2026-02-01"
+    assert p["lookback_hours"] == 72
+    assert p["instance_type"] == "purchase"
+    assert extract_params("since 2025-12-31") == {"start_date": "2025-12-31"}
+
+
+def test_nl_plan_hints():
+    from ocel_ocpn_lakehouse_ray.pipelines.nl import plan
+    from ocel_ocpn_lakehouse_ray.state.query_cache import OptimizerStats, plan_query
+
+    # no MV available: direct strategy + MV recommendation
+    h = plan("what are the trace variants")
+    assert h["query_type"] == "variants"
+    assert h["execution_strategy"] == "direct"
+    assert any("mv_variants" in r for r in h["recommendations"])
+
+    # MV available: strategy flips, recommendation drops
+    h2 = plan("what are the trace variants",
+              mv_exists=lambda v: v == "mv_variants")
+    assert h2["use_materialized_view"] and h2["materialized_view"] == "mv_variants"
+    assert not any("Materialize" in r for r in h2["recommendations"])
+
+    # parameter-sensitive estimates (reference multipliers: top_n<=10 x0.5,
+    # instance x0.3) and date-partition pruning strategy
+    base = plan_query("similar_cases")
+    tight = plan_query("similar_cases",
+                       {"top_n": 5, "instance_id": 1,
+                        "start_date": "2026-01-01"})
+    assert tight["estimated_time_ms"] == round(base["estimated_time_ms"] * 0.5 * 0.3, 1)
+    assert tight["partition_strategy"]["estimated_reduction"] == 0.7
+    assert base["partition_strategy"] is None
+
+    # stats-driven hint: repeated + slow pattern
+    st = OptimizerStats(slow_threshold_seconds=1.0)
+    for _ in range(3):
+        st.record("variants", 2.0)
+    h3 = plan_query("variants", stats=st)
+    assert any("cache" in r for r in h3["recommendations"])
+    assert any("slow" in r.lower() for r in h3["recommendations"])
+
+
+def test_nl_answer_forwards_only_accepted_params():
+    from ocel_ocpn_lakehouse_ray.pipelines.nl import answer
+
+    seen = {}
+
+    def fixed(sf_dir):
+        seen["fixed"] = sf_dir
+        return "ok"
+
+    def aware(sf_dir, top_n=10):
+        seen["aware"] = (sf_dir, top_n)
+        return "ok"
+
+    reg = {"top_customers": fixed}
+    name, _ = answer("top 5 customers", "sf", reg)
+    assert name == "top_customers" and seen["fixed"] == "sf"
+    reg = {"top_customers": aware}
+    answer("top 5 customers", "sf", reg)
+    assert seen["aware"] == ("sf", 5)
