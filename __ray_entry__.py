@@ -96,7 +96,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
     )
     from ocel_ocpn_lakehouse_ray.pipelines.dashboard import DASHBOARD_QUERIES
-    from ocel_ocpn_lakehouse_ray.pipelines.predictive import PREDICTIVE_QUERIES
+    from ocel_ocpn_lakehouse_ray.pipelines.predictive import (
+        PREDICTIVE_QUERIES,
+        PREDICTIVE_QUERIES_EXTRA,
+    )
     from ocel_ocpn_lakehouse_ray.pipelines.queries import QUERIES
     from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_QUERIES
 
@@ -137,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_export_shards": maintenance_queries.maint_export_shards,
         "maint_delete": maintenance_queries.maint_delete,
         "mv_refresh_dfg": maintenance_queries.mv_refresh_dfg,
+        # appended PAST the driver's fixed 50-entry window on purpose (the
+        # window's composition is pinned; this one is pytest-oracled)
+        "bottlenecks": PREDICTIVE_QUERIES_EXTRA["bottlenecks"],
     })
     return out
 
@@ -144,7 +150,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from ocel_ocpn_lakehouse_ray.pipelines import conformance, similarity
     from ocel_ocpn_lakehouse_ray.pipelines.dashboard import DASHBOARD_ORACLE_SQL
-    from ocel_ocpn_lakehouse_ray.pipelines.predictive import PREDICTIVE_ORACLE_SQL
+    from ocel_ocpn_lakehouse_ray.pipelines.predictive import (
+        PREDICTIVE_ORACLE_SQL,
+        PREDICTIVE_ORACLE_SQL_EXTRA,
+    )
     from ocel_ocpn_lakehouse_ray.pipelines.queries import ORACLE_SQL
     from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_ORACLE_SQL
 
@@ -166,4 +175,5 @@ def oracle_sql() -> dict[str, str]:
         # refresh-by-overwrite is SQL-checkable end to end
         "mv_refresh_dfg": ORACLE_SQL["direct_follows"],
     })
+    out.update(PREDICTIVE_ORACLE_SQL_EXTRA)
     return out

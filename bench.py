@@ -317,9 +317,11 @@ def run_scaling(sf_dir: str, low: int = 4, high: int = 16) -> dict:
             rows_by[cpus] = rows
             raw[cpus].append(round(sum(per_job), 3))
     results = {}
+    per_job_min = {}
     for cpus in (high, low):
         best = [min(rep[j] for rep in series[cpus])
                 for j in range(len(series[cpus][0]))]
+        per_job_min[cpus] = [round(v, 3) for v in best]
         secs = sum(best)
         results[cpus] = {"value": round(secs, 3),
                          "maintenance_rows_per_sec": round(rows_by[cpus] / secs, 1)}
@@ -340,6 +342,11 @@ def run_scaling(sf_dir: str, low: int = 4, high: int = 16) -> dict:
         "rows": SCALING_ROWS,
         "sf": sf_dir,
         "reps_raw": {str(c): raw[c] for c in (low, high)},
+        # per-job minima across reps (job order: compact, cluster, merge,
+        # verify-merged, verify-snapshot) — lets later runs POOL minima
+        "per_job_min": {str(c): per_job_min[c] for c in (low, high)},
+        "per_job_raw": {str(c): [[round(v, 3) for v in rep]
+                                 for rep in series[c]] for c in (low, high)},
         "reps_steal_pct": steal_series,
     }
 

@@ -41,6 +41,7 @@ _INTENT_PATTERNS: list[tuple[str, str]] = [
      "next_activity"),
     (r"\bconversion\b|\boutcomes?\b|\bwill\s+.*\b(buy|purchase|convert)",
      "case_outcome"),
+    (r"\bbottlenecks?\b|\bslowest\b|\bwait(ing)?\s+times?\b", "bottlenecks"),
     (r"\butili[sz]ation\b|\bworkload\b|\bbusiest\b|\bresources?\b",
      "resource_utilization"),
     (r"\bkpis?\b|\bdashboards?\b|\bexecutive\b|\boverview\b",

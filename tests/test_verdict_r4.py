@@ -192,6 +192,32 @@ def test_similar_cases_single_events_scan(monkeypatch):
     assert out["distance"].is_monotonic_increasing
 
 
+def test_bottlenecks_matches_duckdb():
+    """q_bottlenecks reproduces the reference identify_bottlenecks semantics
+    (`agent/process_mining_queries.py:285-329`), pinned by a DuckDB oracle
+    on the events table."""
+    import duckdb
+
+    from ocel_ocpn_lakehouse_ray.pipelines.predictive import (
+        SQL_BOTTLENECKS,
+        q_bottlenecks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bottlenecks(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.sql(SQL_BOTTLENECKS).df()
+    assert len(got) == len(want) > 0
+    assert got["activity"].tolist() == want["activity"].tolist()
+    assert got["severity"].tolist() == want["severity"].tolist()
+    assert got["total_occurrences"].tolist() == \
+        want["total_occurrences"].tolist()
+    assert np.allclose(got["avg_duration_seconds"],
+                       want["avg_duration_seconds"], atol=1e-4)
+
+
 def test_gc_sweeps_bloom_sidecars_after_dml_lifecycle(tmp_path, monkeypatch):
     """DML + snapshot expiry + GC must leave ZERO orphans — including the
     .bloom key sidecars of fragments removed by DELETE/UPDATE/MERGE."""
