@@ -101,7 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         PREDICTIVE_QUERIES_EXTRA,
     )
     from ocel_ocpn_lakehouse_ray.pipelines.queries import QUERIES
-    from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_QUERIES
+    from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import (
+        EXTRA_QUERIES,
+        q_rolling_daily,
+    )
 
     from ocel_ocpn_lakehouse_ray.pipelines.ocpn import q_petri_arcs, q_pnml_arcs
 
@@ -139,10 +142,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_evolve_schema": maintenance_queries.maint_evolve_schema,
         "maint_export_shards": maintenance_queries.maint_export_shards,
         "maint_delete": maintenance_queries.maint_delete,
+        "maint_update": maintenance_queries.maint_update,
         "mv_refresh_dfg": maintenance_queries.mv_refresh_dfg,
         # appended PAST the driver's fixed 50-entry window on purpose (the
-        # window's composition is pinned; this one is pytest-oracled)
+        # window's composition is pinned; these are pytest-oracled via the
+        # same rehearsal harness)
         "bottlenecks": PREDICTIVE_QUERIES_EXTRA["bottlenecks"],
+        "rolling_daily": q_rolling_daily,
     })
     return out
 
@@ -155,7 +161,10 @@ def oracle_sql() -> dict[str, str]:
         PREDICTIVE_ORACLE_SQL_EXTRA,
     )
     from ocel_ocpn_lakehouse_ray.pipelines.queries import ORACLE_SQL
-    from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import EXTRA_ORACLE_SQL
+    from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import (
+        EXTRA_ORACLE_SQL,
+        SQL_ROLLING_DAILY,
+    )
 
     from ocel_ocpn_lakehouse_ray.pipelines.ocpn import SQL_PETRI_ARCS
 
@@ -176,4 +185,5 @@ def oracle_sql() -> dict[str, str]:
         "mv_refresh_dfg": ORACLE_SQL["direct_follows"],
     })
     out.update(PREDICTIVE_ORACLE_SQL_EXTRA)
+    out["rolling_daily"] = SQL_ROLLING_DAILY
     return out

@@ -197,6 +197,33 @@ def maint_export_shards(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def maint_update(sf_dir: str) -> pd.DataFrame:
+    """Predicate UPDATE (stages/update.py): CASE-conditional + arithmetic
+    SET on a width band, return the updated scan — rows-only check (the SET
+    semantics are asserted in place; the DuckDB UPDATE oracle lives in
+    tests/test_verdict_r4.py)."""
+    from ..stages.update import run_update
+
+    root = _working_copy(_scale_n(sf_dir), "update")
+    t = LakeTable.load(root)
+    before = _scan(t)
+    t2, rep = run_update(
+        t, [{"column": "w", "op": "between", "lo": 48, "hi": 64}],
+        [{"column": "h", "binop": {"op": "+", "lhs": {"col": "h"},
+                                   "rhs": {"lit": 1000}}}],
+        job_id="q-update")
+    df = _scan(t2)
+    assert len(df) == len(before)
+    sel = (df["w"] >= 48) & (df["w"] <= 64)
+    old = before.set_index("image_id")["h"]
+    assert (df.loc[sel, "h"].to_numpy()
+            == old[df.loc[sel, "image_id"]].to_numpy() + 1000).all()
+    assert (df.loc[~sel, "h"].to_numpy()
+            == old[df.loc[~sel, "image_id"]].to_numpy()).all()
+    shutil.rmtree(root, ignore_errors=True)
+    return df
+
+
 def maint_delete(sf_dir: str) -> pd.DataFrame:
     """Predicate DELETE (stages/delete.py): delete a width band from the
     snapshot, return the surviving scan — rows-only check (the deleted rows

@@ -400,6 +400,11 @@ def q_bottlenecks(sf_dir: str, threshold_percentile: int = 90):
               "severity"]])
 
 
+# Selection is RANK-based inside one windowed pass: DuckDB's parallel avg()
+# is non-deterministic in the last ulps, so re-aggregating for a
+# `avg >= threshold` join can drop the boundary row between runs; ranking
+# once and filtering on rn is stable (and FLOOR matches Python int()
+# truncation for the k index, where CAST would round half-to-even).
 SQL_BOTTLENECKS = """
 WITH w AS (
   SELECT event_type AS activity,
@@ -412,20 +417,23 @@ WITH w AS (
          count(wait_sec) AS total_occurrences
   FROM w WHERE wait_sec IS NOT NULL GROUP BY activity
 ), ranked AS (
-  SELECT avg_duration_seconds AS d,
-         row_number() OVER (ORDER BY avg_duration_seconds) AS rn
+  SELECT activity, avg_duration_seconds, total_occurrences,
+         row_number() OVER (ORDER BY avg_duration_seconds) AS rn,
+         count(*) OVER () AS n
   FROM agg
-), th AS (
-  SELECT d AS threshold FROM ranked,
-         (SELECT LEAST(CAST(count(*) * 90 / 100 AS INT),
-                       count(*) - 1) AS k FROM agg) ks
-  WHERE rn = ks.k + 1
+), thr AS (
+  SELECT *,
+         LEAST(CAST(FLOOR(n * 90.0 / 100) AS INT), n - 1) + 1 AS k1,
+         max(CASE WHEN rn = LEAST(CAST(FLOOR(n * 90.0 / 100) AS INT),
+                                  n - 1) + 1
+                  THEN avg_duration_seconds END) OVER () AS threshold
+  FROM ranked
 )
 SELECT activity, ROUND(avg_duration_seconds, 6) AS avg_duration_seconds,
        total_occurrences,
        CASE WHEN avg_duration_seconds >= threshold * 1.5
             THEN 'high' ELSE 'medium' END AS severity
-FROM agg, th WHERE avg_duration_seconds >= threshold
+FROM thr WHERE rn >= k1
 ORDER BY avg_duration_seconds DESC
 """
 

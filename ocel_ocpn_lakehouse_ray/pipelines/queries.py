@@ -57,6 +57,25 @@ def _small_arrow(sf_dir: str, name: str, columns=None) -> pa.Table:
     return pq.read_table(_pq(sf_dir, name), columns=columns)
 
 
+def join_num_partitions(sf_dir: str, tables: list[str],
+                        target_bytes: int = 128 << 20) -> int:
+    """Hash-join partition count sized by the joined tables' bytes, capped
+    by the cluster: each hash-shuffle partition is a CPU-holding aggregator
+    ACTOR, and spinning 16 of them for a few-MB join is pure fixed cost
+    (~1-2 s of actor startup per query at bench scale).  One partition per
+    ~128 MB of input, floor 2, ceiling cpus//2 (map tasks still need slots)
+    — at the 100 TB design point the byte term saturates the ceiling and
+    this degenerates to the old cpus//2 rule."""
+    import ray
+
+    cap = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    try:
+        total = sum(os.path.getsize(_pq(sf_dir, t)) for t in tables)
+    except OSError:
+        return cap
+    return max(2, min(cap, (total // target_bytes) + 1))
+
+
 class _BroadcastJoiner:
     """Actor-pool batch joiner: the broadcast side is fetched from the object
     store ONCE per actor in the constructor (zero-copy local read), then every
@@ -285,11 +304,7 @@ def q_revenue_by_nation(sf_dir: str):
     nation = _small_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"])
 
-    # join partition count must stay below available CPUs: each hash-shuffle
-    # aggregator is an actor holding a CPU, and map tasks still need slots
-    import ray
-
-    nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    nparts = join_num_partitions(sf_dir, ["lineitem", "orders"])
     joined = li.join(orders, join_type="inner", num_partitions=nparts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
     joined = broadcast_join(joined, dim, keys=["o_custkey"], right_keys=["c_custkey"])

@@ -192,6 +192,15 @@ def test_similar_cases_single_events_scan(monkeypatch):
     assert out["distance"].is_monotonic_increasing
 
 
+def test_maint_update_registry_wrapper():
+    from ocel_ocpn_lakehouse_ray.pipelines.maintenance_queries import (
+        maint_update,
+    )
+
+    df = maint_update("/root/testdata/sf0.001")
+    assert len(df) > 0  # in-place SET assertions live inside the wrapper
+
+
 def test_bottlenecks_matches_duckdb():
     """q_bottlenecks reproduces the reference identify_bottlenecks semantics
     (`agent/process_mining_queries.py:285-329`), pinned by a DuckDB oracle
