@@ -88,6 +88,26 @@ def _q_image_knn(sf_dir: str):
     return image_knn(t)[["query_id", "neighbor_id"]]
 
 
+def _q_curate(sf_dir: str):
+    """Composed corpus-curation flow (quality → lang → exact dedup →
+    near-dedup → shard export) over the documents table; returns the
+    one-row per-stage report — rows-only check (stage exactness is pinned
+    by the crafted-corpus pytest in tests/test_verdict_r4.py)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ocel_ocpn_lakehouse_ray.pipelines.curate import curate_corpus
+
+    out = tempfile.mkdtemp(prefix="curate_", dir="/tmp")
+    try:
+        rep = curate_corpus(sf_dir, out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pd.DataFrame([{k: v for k, v in rep.items() if k != "params"}])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocel_ocpn_lakehouse_ray.pipelines import (
         conformance,
@@ -149,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same rehearsal harness)
         "bottlenecks": PREDICTIVE_QUERIES_EXTRA["bottlenecks"],
         "rolling_daily": q_rolling_daily,
+        "curate_corpus": _q_curate,
     })
     return out
 

@@ -69,7 +69,7 @@ def main(argv=None):
                                         "cleanup-journal", "refresh-views", "ask",
                                         "verify-merged", "verify-snapshot",
                                         "rollback", "diff", "export", "delete", "update",
-                                        "tag", "untag", "tags"])
+                                        "tag", "untag", "tags", "curate"])
     ap.add_argument("--name", default=None)
     ap.add_argument("--from-version", type=int, default=None)
     ap.add_argument("--out-dir", default=None)
@@ -160,6 +160,11 @@ def main(argv=None):
         out = run_export(t, args.out_dir or args.root + "_shards",
                          job_id=args.job_id, from_version=args.from_version,
                          shard_bytes=args.shard_bytes or DEFAULT_SHARD_BYTES)
+    elif args.command == "curate":
+        from .pipelines.curate import curate_corpus
+
+        out = curate_corpus(args.sf_dir,
+                            args.out_dir or args.root + "_curated")
     elif args.command == "tag":
         t = LakeTable.load(args.root, version=args.version)
         out = {"tags": t.tag(args.name), "version": t.version}

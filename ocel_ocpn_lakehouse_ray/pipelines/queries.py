@@ -58,14 +58,17 @@ def _small_arrow(sf_dir: str, name: str, columns=None) -> pa.Table:
 
 
 def join_num_partitions(sf_dir: str, tables: list[str],
-                        target_bytes: int = 128 << 20) -> int:
+                        target_bytes: int = 2 << 20) -> int:
     """Hash-join partition count sized by the joined tables' bytes, capped
     by the cluster: each hash-shuffle partition is a CPU-holding aggregator
     ACTOR, and spinning 16 of them for a few-MB join is pure fixed cost
-    (~1-2 s of actor startup per query at bench scale).  One partition per
-    ~128 MB of input, floor 2, ceiling cpus//2 (map tasks still need slots)
-    — at the 100 TB design point the byte term saturates the ceiling and
-    this degenerates to the old cpus//2 rule."""
+    (~1-2 s of actor startup per query at bench scale) while 2 partitions
+    starve the probe compute.  Measured A/B on the bench fixture (12 MiB
+    compressed join input, 32 CPUs): P=2 → 6.5 s, P=4 → 4.8 s, P=8 → 4.4 s,
+    P=16 → 6.0 s — hence one partition per ~2 MiB compressed (≈10-20 MiB in
+    flight), floor 4, ceiling cpus//2 (map tasks still need slots).  At the
+    100 TB design point the byte term saturates the ceiling and this
+    degenerates to the cpus//2 rule."""
     import ray
 
     cap = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
@@ -73,7 +76,7 @@ def join_num_partitions(sf_dir: str, tables: list[str],
         total = sum(os.path.getsize(_pq(sf_dir, t)) for t in tables)
     except OSError:
         return cap
-    return max(2, min(cap, (total // target_bytes) + 1))
+    return max(min(4, cap), min(cap, (total // target_bytes) + 1))
 
 
 class _BroadcastJoiner:

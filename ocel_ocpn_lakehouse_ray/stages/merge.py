@@ -326,6 +326,25 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
                          failpoint=failpoint, delete_col=delete_col)
     add = []
     merge_mode = os.environ.get("GRAFT_MERGE", getattr(cfg, "merge_strategy", "shuffle"))
+    if merge_mode == "auto":
+        # Cost-based physical-plan choice (persisted in job meta so a resume
+        # NEVER flips plans over a half-written journal): copy-on-write moves
+        # ~2T + 3s bytes through storage vs the hash co-group's ~4T
+        # (stages/merge_cow.py module docstring), so cow wins when
+        # 3*src < 2*touched — but only above a byte floor, because cow's
+        # extra Dataset ops cost ~1-2 s of fixed latency that dominates
+        # small merges (measured round 3; GRAFT_AUTO_COW_MIN_BYTES).
+        chosen = meta.get("plan")
+        if chosen is None:
+            src_bytes = sum(os.path.getsize(p) for p in src_files)
+            floor = int(os.environ.get("GRAFT_AUTO_COW_MIN_BYTES",
+                                       str(2 << 30)))
+            touched_b = sum(f.bytes for f in touched)
+            chosen = ("cow" if touched_b >= floor
+                      and 3 * src_bytes < 2 * touched_b else "shuffle")
+            meta["plan"] = chosen
+            lineage.write_job_meta(table.root, job_id, meta)
+        merge_mode = chosen
     strategy = os.environ.get("GRAFT_SHUFFLE", cfg.shuffle_strategy)
     if merge_mode == "cow":
         # copy-on-write: only SOURCE rows shuffle; fragments are rewritten in

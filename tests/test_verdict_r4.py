@@ -192,6 +192,101 @@ def test_similar_cases_single_events_scan(monkeypatch):
     assert out["distance"].is_monotonic_increasing
 
 
+def test_merge_auto_plan_choice_and_resume_stability(tmp_path, monkeypatch):
+    """GRAFT_MERGE=auto picks the plan from the cost model (cow when
+    3*src < 2*touched above the byte floor, else shuffle), persists it in
+    the job meta, and a RESUME reuses the recorded plan even when the
+    environment would now choose differently."""
+    import ray
+
+    from ocel_ocpn_lakehouse_ray.sources.generator import (
+        create_image_table,
+        merge_source_dataset,
+    )
+    from ocel_ocpn_lakehouse_ray.state import lineage
+    from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
+    from ocel_ocpn_lakehouse_ray.stages.verify import verify_merged_map_only
+
+    monkeypatch.setenv("GRAFT_MERGE", "auto")
+
+    # default floor (2 GiB): toy merge chooses the shuffle plan
+    t = create_image_table(str(tmp_path / "a"), 200, num_fragments=6, seed=42)
+    t2, rep = run_merge(t, merge_source_dataset(200, seed=42, num_blocks=2),
+                        job_id="auto-s")
+    assert lineage.load_job_meta(t.root, "auto-s")["plan"] == "shuffle"
+    vr = verify_merged_map_only(t2, n=200, seed=42, num_blocks=4)
+    assert vr["passed"], vr
+
+    # floor 0: the ~5 % source vs full touched set chooses cow; crash, then
+    # resume under a HUGE floor — must reuse the journaled cow plan
+    monkeypatch.setenv("GRAFT_AUTO_COW_MIN_BYTES", "0")
+    t = create_image_table(str(tmp_path / "b"), 200, num_fragments=6, seed=42)
+    with pytest.raises(Exception, match="failpoint"):
+        run_merge(t, merge_source_dataset(200, seed=42, num_blocks=2),
+                  job_id="auto-c", failpoint=1)
+    assert lineage.load_job_meta(t.root, "auto-c")["plan"] == "cow"
+    monkeypatch.setenv("GRAFT_AUTO_COW_MIN_BYTES", str(1 << 40))
+    t3, rep = run_merge(t, merge_source_dataset(200, seed=42, num_blocks=2),
+                        job_id="auto-c")
+    assert lineage.load_job_meta(t.root, "auto-c")["plan"] == "cow"
+    vr = verify_merged_map_only(t3, n=200, seed=42, num_blocks=4)
+    assert vr["passed"] and vr["id_checksum_ok"], vr
+
+
+def test_curate_corpus_stages(tmp_path):
+    """Composed curation pipeline: quality filter, language filter, exact
+    dedup (keep-min), near-dedup (keep-lowest), export — crafted corpus
+    exercises every stage with known expected survivors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocel_ocpn_lakehouse_ray.pipelines.curate import curate_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river where it drinks some of the cold water before it sleeps")
+    near = base.replace("cold", "warm")
+    docs = {
+        1: base,                       # keeper (lowest id of near-dup pair)
+        2: base,                       # exact dup of 1 -> dropped (keep-min)
+        3: near,                       # near dup of 1 -> dropped
+        4: "short",                    # quality fail (min_tokens)
+        5: "el rapido zorro marron salta sobre el perro perezoso en la "
+           "manana y corre por la ciudad con los gatos y las casas",  # not en
+        6: "a completely different english document that talks about the "
+           "weather and the mountains and the long roads of the north",
+    }
+    src = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()), pa.string())}),
+        os.path.join(src, "documents.parquet"))
+
+    out = str(tmp_path / "out")
+    rep = curate_corpus(src, out, min_tokens=5, langs=("en",),
+                        jaccard_threshold=0.4)
+    assert rep["n_input"] == 6
+    assert rep["n_quality"] == 4          # drops 4 (short) and 5 (es)
+    assert rep["exact_dup_drops"] == 1    # doc 2
+    assert rep["near_dup_drops"] == 1     # doc 3
+    assert rep["n_output"] == 2
+    got = sorted(
+        v for f in os.listdir(out) if f.endswith(".parquet")
+        for v in pq.read_table(os.path.join(out, f))["doc_id"].to_pylist())
+    assert got == [1, 6]
+
+
+def test_curate_counts_consistent_on_testdata(tmp_path):
+    from ocel_ocpn_lakehouse_ray.pipelines.curate import curate_corpus
+
+    rep = curate_corpus("/root/testdata/sf0.001", str(tmp_path / "o"))
+    assert rep["n_output"] == (rep["n_quality"] - rep["exact_dup_drops"]
+                               - rep["near_dup_drops"])
+    assert rep["n_input"] == 500 and rep["n_output"] > 0
+
+
 def test_maint_update_registry_wrapper():
     from ocel_ocpn_lakehouse_ray.pipelines.maintenance_queries import (
         maint_update,
