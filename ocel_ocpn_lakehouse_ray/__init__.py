@@ -31,6 +31,11 @@ __all__ = [
     "load_ocel_to_lakehouse",
     "discover_petri_net",
     "match_intent",
+    "run_delete",
+    "run_update",
+    "run_export",
+    "curate_corpus",
+    "plan_query",
 ]
 
 # name → "module:attr" for the lazy public surface
@@ -51,6 +56,11 @@ _LAZY = {
     "load_ocel_to_lakehouse": ".sources.ocel:load_ocel_to_lakehouse",
     "discover_petri_net": ".pipelines.ocpn:discover_petri_net",
     "match_intent": ".pipelines.nl:match_intent",
+    "run_delete": ".stages.delete:run_delete",
+    "run_update": ".stages.update:run_update",
+    "run_export": ".stages.export:run_export",
+    "curate_corpus": ".pipelines.curate:curate_corpus",
+    "plan_query": ".state.query_cache:plan_query",
 }
 
 
