@@ -36,6 +36,7 @@ __all__ = [
     "run_export",
     "curate_corpus",
     "plan_query",
+    "stream_append",
 ]
 
 # name → "module:attr" for the lazy public surface
@@ -61,6 +62,7 @@ _LAZY = {
     "run_export": ".stages.export:run_export",
     "curate_corpus": ".pipelines.curate:curate_corpus",
     "plan_query": ".state.query_cache:plan_query",
+    "stream_append": ".pipelines.streaming:stream_append",
 }
 
 

@@ -69,7 +69,8 @@ def main(argv=None):
                                         "cleanup-journal", "refresh-views", "ask",
                                         "verify-merged", "verify-snapshot",
                                         "rollback", "diff", "export", "delete", "update",
-                                        "tag", "untag", "tags", "curate"])
+                                        "tag", "untag", "tags", "curate",
+                                        "ingest"])
     ap.add_argument("--name", default=None)
     ap.add_argument("--from-version", type=int, default=None)
     ap.add_argument("--out-dir", default=None)
@@ -83,6 +84,7 @@ def main(argv=None):
     ap.add_argument("--question", default=None)
     ap.add_argument("--iterations", type=int, default=1)
     ap.add_argument("--rows", type=int, default=20000)
+    ap.add_argument("--batch-rows", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--job-id", default=None)
     ap.add_argument("--order", default="zorder", choices=["zorder", "hilbert"])
@@ -160,6 +162,25 @@ def main(argv=None):
         out = run_export(t, args.out_dir or args.root + "_shards",
                          job_id=args.job_id, from_version=args.from_version,
                          shard_bytes=args.shard_bytes or DEFAULT_SHARD_BYTES)
+    elif args.command == "ingest":
+        import numpy as _np
+
+        from .pipelines.streaming import stream_append
+        from .sources.generator import gen_batch
+
+        t = LakeTable.load(args.root)
+        n, bs = args.rows, args.batch_rows
+
+        def _stream():
+            # fresh id range so streamed rows never collide with seed rows
+            for s in range(0, n, bs):
+                yield gen_batch(
+                    _np.arange(s, min(s + bs, n)) + 3 * 10**12, args.seed)
+
+        # --iterations doubles as commit_every when given (> 1); default 10
+        _, out = stream_append(
+            t, _stream(), job_id=args.job_id or f"ingest-v{t.version}",
+            commit_every=args.iterations if args.iterations > 1 else 10)
     elif args.command == "curate":
         from .pipelines.curate import curate_corpus
 

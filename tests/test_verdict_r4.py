@@ -233,6 +233,43 @@ def test_merge_auto_plan_choice_and_resume_stability(tmp_path, monkeypatch):
     assert vr["passed"] and vr["id_checksum_ok"], vr
 
 
+def test_stream_append_exactly_once_with_resume(tmp_path):
+    """Micro-batch streaming ingest: bounded manifest commits, exact row
+    counts, and an interrupted stream resumes with zero duplicates and
+    zero lost batches."""
+    from ocel_ocpn_lakehouse_ray.config import TableConfig
+    from ocel_ocpn_lakehouse_ray.pipelines.streaming import stream_append
+    from ocel_ocpn_lakehouse_ray.sources.generator import gen_batch
+    from ocel_ocpn_lakehouse_ray.table import IMAGE_SCHEMA, LakeTable
+
+    t = LakeTable.create(str(tmp_path / "t"), IMAGE_SCHEMA,
+                         TableConfig(target_fragment_bytes=1 << 20))
+    v0 = t.version
+
+    def stream():
+        for i in range(20):
+            yield gen_batch(np.arange(10) + i * 10, 5)
+
+    # interrupted at batch 12: some micro-batches journaled, one commit done
+    with pytest.raises(RuntimeError, match="failpoint"):
+        stream_append(t, stream(), job_id="s1", commit_every=5, failpoint=12)
+    t1 = LakeTable.load(t.root)
+    assert t1.manifest.total_rows in (50, 100)  # full commits only
+
+    # resume: same job, same stream — exactly-once
+    t2, rep = stream_append(LakeTable.load(t.root), stream(), job_id="s1",
+                            commit_every=5)
+    assert rep["rows"] == 200 and rep["resumed_skips"] >= 10
+    assert t2.manifest.total_rows == 200
+    ids = t2.to_arrow(columns=["image_id"])["image_id"].to_pylist()
+    assert len(ids) == len(set(ids)) == 200
+    # bounded manifest churn: at most ceil(20/5)+1 commits across both runs
+    assert t2.version - v0 <= 5
+    # idempotent full rerun: nothing new to publish
+    t3, rep3 = stream_append(t2, stream(), job_id="s1", commit_every=5)
+    assert t3.version == t2.version and rep3["resumed_skips"] == 20
+
+
 def test_curate_corpus_stages(tmp_path):
     """Composed curation pipeline: quality filter, language filter, exact
     dedup (keep-min), near-dedup (keep-lowest), export — crafted corpus
