@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottlenecks": PREDICTIVE_QUERIES_EXTRA["bottlenecks"],
         "rolling_daily": q_rolling_daily,
         "curate_corpus": _q_curate,
+        "ann_ivf_persisted": __import__(
+            "ocel_ocpn_lakehouse_ray.pipelines.vector_index",
+            fromlist=["q_ann_ivf_persisted"]).q_ann_ivf_persisted,
     })
     return out
 

@@ -37,6 +37,8 @@ __all__ = [
     "curate_corpus",
     "plan_query",
     "stream_append",
+    "build_ivf_index",
+    "search_ivf_index",
 ]
 
 # name → "module:attr" for the lazy public surface
@@ -63,6 +65,8 @@ _LAZY = {
     "curate_corpus": ".pipelines.curate:curate_corpus",
     "plan_query": ".state.query_cache:plan_query",
     "stream_append": ".pipelines.streaming:stream_append",
+    "build_ivf_index": ".pipelines.vector_index:build_ivf_index",
+    "search_ivf_index": ".pipelines.vector_index:search_ivf_index",
 }
 
 
