@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import (
         EXTRA_QUERIES,
         q_rolling_daily,
+        q_top_orders_per_customer,
+        q_value_p50_by_type,
     )
 
     from ocel_ocpn_lakehouse_ray.pipelines.ocpn import q_petri_arcs, q_pnml_arcs
@@ -169,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same rehearsal harness)
         "bottlenecks": PREDICTIVE_QUERIES_EXTRA["bottlenecks"],
         "rolling_daily": q_rolling_daily,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "value_p50_by_type": q_value_p50_by_type,
         "curate_corpus": _q_curate,
         "ann_ivf_persisted": __import__(
             "ocel_ocpn_lakehouse_ray.pipelines.vector_index",
@@ -188,6 +192,8 @@ def oracle_sql() -> dict[str, str]:
     from ocel_ocpn_lakehouse_ray.pipelines.queries_extra import (
         EXTRA_ORACLE_SQL,
         SQL_ROLLING_DAILY,
+        SQL_TOP_ORDERS_PER_CUSTOMER,
+        SQL_VALUE_P50_BY_TYPE,
     )
 
     from ocel_ocpn_lakehouse_ray.pipelines.ocpn import SQL_PETRI_ARCS
@@ -210,4 +216,6 @@ def oracle_sql() -> dict[str, str]:
     })
     out.update(PREDICTIVE_ORACLE_SQL_EXTRA)
     out["rolling_daily"] = SQL_ROLLING_DAILY
+    out["top_orders_per_customer"] = SQL_TOP_ORDERS_PER_CUSTOMER
+    out["value_p50_by_type"] = SQL_VALUE_P50_BY_TYPE
     return out

@@ -527,6 +527,72 @@ FROM d
 """
 
 
+def q_top_orders_per_customer(sf_dir: str, k: int = 2):
+    """Grouped top-k (the rank-window operator): the k highest-price orders
+    per customer — one bucketed-group shuffle, vectorized per-group head
+    inside each coarse bucket (no per-customer task)."""
+    import pandas as pd
+
+    from .queries import bucketed_groups
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True])
+        return g.groupby("o_custkey", sort=False).head(k)
+
+    return bucketed_groups(ds, "o_custkey", topk)
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t WHERE rn <= 2
+"""
+
+
+def q_value_p50_by_type(sf_dir: str):
+    """Grouped exact median (percentile_cont per group): per event_type the
+    p50 of `value` via the distributed (group, value) histogram — the
+    grouped form of exact_quantiles_distributed; driver state is
+    O(groups x distinct values), bounded for 2-decimal money domains."""
+    import pandas as pd
+
+    from .queries import _read as rd
+
+    ds = rd(sf_dir, "events", columns=["event_type", "value"])
+    hist = (ds.groupby(["event_type", "value"]).count()
+            .to_pandas().sort_values(["event_type", "value"]))
+    out_t, out_p = [], []
+    for etype, g in hist.groupby("event_type", sort=True):
+        vals = g["value"].to_numpy()
+        cum = np.cumsum(g["count()"].to_numpy())
+        n = int(cum[-1])
+        h = (n - 1) * 0.5
+        lo = int(np.floor(h))
+
+        def value_at(rank):
+            return float(vals[np.searchsorted(cum, rank, side="right")])
+
+        a, b = value_at(lo), value_at(min(lo + 1, n - 1))
+        out_t.append(etype)
+        # same correctly-rounded lerp contract as price_percentiles
+        out_p.append(round(float(np.quantile(np.array([a, b]), h - lo,
+                                             method="linear")), 4))
+    return pd.DataFrame({"event_type": out_t, "p50": out_p})
+
+
+SQL_VALUE_P50_BY_TYPE = """
+SELECT event_type,
+       ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY value), 4) AS p50
+FROM events GROUP BY event_type
+"""
+
+
 EXTRA_QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
