@@ -133,3 +133,53 @@ def test_histogram_quantile_matches_numpy(vals, q, ray_session):
     [got] = exact_quantiles_distributed(ds, "x", [q])
     expected = round(float(np.quantile(v, q, method="linear")), 4)
     assert got == pytest.approx(expected, abs=1e-9)
+
+
+# ------------------------------------------- banded levenshtein (round 4)
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(
+    a=st.text(alphabet="abcd", max_size=25),
+    b=st.text(alphabet="abcd", max_size=25),
+    cutoff=st.integers(min_value=0, max_value=30),
+)
+def test_banded_levenshtein_exact_within_cutoff(a, b, cutoff):
+    from ocel_ocpn_lakehouse_ray.pipelines.predictive import (
+        levenshtein,
+        levenshtein_banded,
+    )
+
+    d = levenshtein(a, b)
+    got = levenshtein_banded(a, b, cutoff)
+    if d <= cutoff:
+        assert got == d
+    else:
+        assert got > cutoff
+
+
+# ------------------------------------- cow-merge interval index (round 4)
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(
+    ranges=st.lists(
+        st.tuples(st.integers(0, 9999), st.integers(0, 500)),
+        min_size=1, max_size=40),
+    keys=st.lists(st.integers(0, 11000), min_size=1, max_size=60),
+)
+def test_interval_index_always_matches_linear(ranges, keys):
+    import numpy as np
+
+    from ocel_ocpn_lakehouse_ray.stages.merge_cow import (
+        build_interval_index,
+        candidate_rows,
+    )
+
+    frags = [(f"f{i:03d}", "p", f"k{lo:06d}", f"k{lo + w:06d}", None, 4)
+             for i, (lo, w) in enumerate(ranges)]
+    idx = build_interval_index(frags)
+    karr = np.array([f"k{v:06d}" for v in keys], dtype=object)
+    want = candidate_rows(None, frags, karr)
+    got = candidate_rows(idx, frags, karr) if idx is not None else want
+    assert set(got) == set(want)
+    for f in got:
+        assert sorted(got[f].tolist()) == sorted(want[f].tolist())
