@@ -166,21 +166,20 @@ def search_ivf_index(index_dir: str, q_ids: np.ndarray, q_mat: np.ndarray,
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
 
-    def tag(batch: pa.Table, lid: int) -> pa.Table:
-        return batch.append_column(
-            "list_id", pa.array(np.full(batch.num_rows, lid, np.int64)))
+    # ONE pruned read over exactly the probed list files; each batch derives
+    # its list id from the file path (include_paths) so the per-query probe
+    # masks apply — no per-list Dataset union (which would add one operator
+    # per probed list and collapse at nlist in the thousands).
+    lid_by_path = {os.path.join(index_dir, by_list[l]["file"]): l
+                   for l in needed if l in by_list}
 
-    # read each probed list tagged with its id so per-query probe masks apply
-    parts = []
-    for l in needed:
-        if l not in by_list:
-            continue
-        d = ray.data.read_parquet(os.path.join(index_dir, by_list[l]["file"]))
-        parts.append(d.map_batches(lambda b, _l=l: tag(b, _l),
-                                   batch_format="pyarrow"))
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
+    def tag(batch: pa.Table) -> pa.Table:
+        lids = [lid_by_path[p] for p in batch["path"].to_pylist()]
+        return (batch.drop_columns(["path"])
+                .append_column("list_id", pa.array(lids, pa.int64())))
+
+    ds = ray.data.read_parquet(files, include_paths=True).map_batches(
+        tag, batch_format="pyarrow")
     partials = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     partials = partials.sort_values(["query_id", "sim", "neighbor_id"],
                                     ascending=[True, False, True])
