@@ -446,6 +446,35 @@ def test_update_expression_sets_match_duckdb(tmp_path):
         assert got[c].tolist() == oracle[c].to_pylist(), c
 
 
+@pytest.mark.parametrize("mode", ["shuffle", "cow"])
+def test_merge_pure_delete_source(tmp_path, mode, monkeypatch):
+    """A source containing ONLY delete markers behaves as a keyed DELETE
+    under both plans: matched rows vanish, nothing inserts."""
+    import pyarrow as pa
+    import ray
+
+    from ocel_ocpn_lakehouse_ray.sources.generator import (
+        create_image_table,
+        gen_batch,
+    )
+    from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
+
+    monkeypatch.setenv("GRAFT_MERGE", mode)
+    n, seed = 200, 33
+    t = create_image_table(str(tmp_path / mode), n, num_fragments=6, seed=seed)
+    del_ids = np.arange(0, 30, 3)
+    src = gen_batch(del_ids, seed).append_column(
+        "__del", pa.array([True] * len(del_ids)))
+    t2, rep = run_merge(t, ray.data.from_arrow(src),
+                        job_id=f"pured-{mode}", delete_col="__del")
+    assert rep["deletes"] == len(del_ids)
+    assert rep["inserts"] == 0 and rep["updates"] == 0
+    assert t2.manifest.total_rows == n - len(del_ids)
+    ids = set(t2.to_arrow(columns=["image_id"])["image_id"].to_pylist())
+    gone = set(gen_batch(del_ids, seed)["image_id"].to_pylist())
+    assert not (ids & gone) and len(ids) == n - len(del_ids)
+
+
 def test_interval_index_pathological_overlap_falls_back_to_linear():
     # nested ranges (frag i spans [0, i]) → O(F^2) segment entries → None
     frags = [_frag(f"f{i:04d}", "k000000", f"k{i:06d}") for i in range(200)]
