@@ -66,19 +66,65 @@ def _steal_probe(nproc: int = 8, seconds: float = 1.0) -> float:
     return (s2 - s1) / dt if dt > 0 else 0.0
 
 
-def wait_quiet(label: str = "") -> float:
-    """Block (bounded) until the hypervisor steal is below GRAFT_STEAL_MAX;
-    returns the last measured steal fraction (recorded, never raises)."""
-    steal = _steal_probe()
+MIN_MEMBW_GBS = float(os.environ.get("GRAFT_MIN_MEMBW_GBS", "5.0"))
+
+
+def _membw_probe(mib: int = 64, seconds: float = 0.4) -> float:
+    """Single-proc warmed memcpy GB/s — catches the co-tenant noise mode
+    steal%% misses: shared-LLC/memory-bandwidth contention inflates the
+    memcpy-bound phases 20-30 %% while vCPUs are never preempted (observed
+    2026-08-17: 10.4 s lifecycle reps at 0.4-1.7 %% steal vs 7.9 s quiet)."""
+    import numpy as np
+
+    a = np.ones(mib << 20 >> 3)
+    b = np.empty_like(a)
+    b[:] = a  # fault every page before timing
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        b[:] = a
+        n += 1
+    return n * a.nbytes / (time.perf_counter() - t0) / 1e9
+
+
+def _cpu_probe(seconds: float = 0.3) -> float:
+    """Single-proc zlib compress+decompress kilo-iters/s — a pure-CPU speed
+    reference in the same work shape as the verify phase.  Quiet-window
+    calibration 2026-08-17: ~6.7k iters/s.  When a run's lifecycle is slow
+    while this reads proportionally low, the box itself is slow (turbo/LLC
+    contention) — the engine is not the variable."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    blobs = [rng.integers(0, 255, 64 * 64 * 3, dtype=np.uint8).tobytes()
+             for _ in range(8)]
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        zlib.decompress(zlib.compress(blobs[n % 8], 6))
+        n += 1
+    return n / (time.perf_counter() - t0) / 1000.0
+
+
+def wait_quiet(label: str = "") -> dict:
+    """Block (bounded) until the box is quiet on BOTH gated axes —
+    hypervisor steal below GRAFT_STEAL_MAX and single-proc memcpy above
+    GRAFT_MIN_MEMBW_GBS — and record a pure-CPU speed reference alongside
+    (not gated: it normalizes cross-window drift for the reader).  Never
+    raises; returns the last measurements."""
+    steal, bw = _steal_probe(), _membw_probe()
     for _ in range(STEAL_TRIES):
-        if steal <= STEAL_MAX:
+        if steal <= STEAL_MAX and bw >= MIN_MEMBW_GBS:
             break
-        print(f"# steal gate{' ' + label if label else ''}: "
-              f"{steal * 100:.1f} % > {STEAL_MAX * 100:.0f} % — waiting",
+        print(f"# quiet gate{' ' + label if label else ''}: "
+              f"steal {steal * 100:.1f} % / membw {bw:.1f} GB/s — waiting",
               file=sys.stderr)
         time.sleep(STEAL_WAIT_S)
-        steal = _steal_probe()
-    return steal
+        steal, bw = _steal_probe(), _membw_probe()
+    return {"steal_pct": round(steal * 100, 1), "membw_gbs": round(bw, 2),
+            "cpu_kiters": round(_cpu_probe(), 2)}
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -193,7 +239,7 @@ def run_bench(num_cpus: int, sf_dir: str, *, maintenance_only: bool = False,
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     phase_series, raw_totals, steal_series = [], [], []
     for i in range(reps):
-        steal_series.append(round(wait_quiet(f"rep {i}") * 100, 1))
+        steal_series.append(wait_quiet(f"rep {i}"))
         ph, maint_rows, t = one_lifecycle(f"bench{num_cpus}_{i}")
         phase_series.append(ph)
         raw_totals.append(round(sum(ph.values()), 3))
@@ -205,7 +251,7 @@ def run_bench(num_cpus: int, sf_dir: str, *, maintenance_only: bool = False,
         import __ray_entry__ as entrymod
 
         reg = entrymod.queries()
-        q_steal = round(wait_quiet("queries") * 100, 1)
+        q_steal = wait_quiet("queries")
         for name in BENCH_QUERIES:
             best = None
             for _ in range(reps):
@@ -225,14 +271,43 @@ def run_bench(num_cpus: int, sf_dir: str, *, maintenance_only: bool = False,
         "maintenance_rows_per_sec": round(maint_rows / maint_secs, 1),
         "phases": phases,
         "reps_raw_total": raw_totals,
-        "reps_steal_pct": steal_series,
+        "reps_quiet": steal_series,
         "table_rows": int(t.manifest.total_rows),
         "table_bytes": int(t.manifest.total_bytes),
     }
     if not maintenance_only:
-        out["queries_steal_pct"] = q_steal
+        out["queries_quiet"] = q_steal
     ray.shutdown()
     return out
+
+
+def run_profile(name: str, sf_dir: str, num_cpus: int) -> None:
+    """Print Ray Data's per-operator stats for one registry query — the
+    `ds.stats()` feedback loop the build brief prescribes for iterating on
+    an operator until wall time is dominated by useful compute."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as entrymod
+
+    t0 = time.time()
+    r = entrymod.queries()[name](sf_dir)
+    import ray.data as rd
+
+    if isinstance(r, rd.Dataset):
+        r = r.materialize()
+        print(r.stats())
+    else:
+        print(f"(driver-finished result: {len(r)} rows — no Dataset stats)")
+    print(f"total {time.time() - t0:.3f}s")
+    ray.shutdown()
 
 
 SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "80000"))
@@ -308,7 +383,7 @@ def run_scaling(sf_dir: str, low: int = 4, high: int = 16) -> dict:
     raw: dict[int, list[float]] = {low: [], high: []}
     steal_series = []
     for _ in range(reps):
-        steal_series.append(round(wait_quiet("scaling rep") * 100, 1))
+        steal_series.append(wait_quiet("scaling rep"))
         for cpus in (high, low):
             root = _working_copy(SCALING_ROWS, f"scale{cpus}")
             per_job, rows = _lifecycle_job_seconds(root, cpus, SCALING_ROWS)
@@ -347,7 +422,7 @@ def run_scaling(sf_dir: str, low: int = 4, high: int = 16) -> dict:
         "per_job_min": {str(c): per_job_min[c] for c in (low, high)},
         "per_job_raw": {str(c): [[round(v, 3) for v in rep]
                                  for rep in series[c]] for c in (low, high)},
-        "reps_steal_pct": steal_series,
+        "reps_quiet": steal_series,
     }
 
 
@@ -356,13 +431,16 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-low", type=int, default=int(os.environ.get("GRAFT_SCALING_LOW", "4")))
     ap.add_argument("--scaling-high", type=int, default=int(os.environ.get("GRAFT_SCALING_HIGH", "16")))
-    ap.add_argument("--single", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--maintenance-only", action="store_true")
     ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--profile", default=None, metavar="QUERY",
+                    help="print ds.stats() for one registry query and exit")
     args = ap.parse_args()
-    if args.scaling:
+    if args.profile:
+        run_profile(args.profile, args.sf_dir, args.cpus)
+    elif args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, low=args.scaling_low,
                                      high=args.scaling_high)))
     else:
