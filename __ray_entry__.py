@@ -178,6 +178,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ocel_ocpn_lakehouse_ray.pipelines.vector_index",
             fromlist=["q_ann_ivf_persisted"]).q_ann_ivf_persisted,
     })
+    from ocel_ocpn_lakehouse_ray.pipelines.analytics_extra import (
+        ANALYTICS_EXTRA_QUERIES,
+    )
+
+    out.update(ANALYTICS_EXTRA_QUERIES)
     return out
 
 
@@ -218,4 +223,9 @@ def oracle_sql() -> dict[str, str]:
     out["rolling_daily"] = SQL_ROLLING_DAILY
     out["top_orders_per_customer"] = SQL_TOP_ORDERS_PER_CUSTOMER
     out["value_p50_by_type"] = SQL_VALUE_P50_BY_TYPE
+    from ocel_ocpn_lakehouse_ray.pipelines.analytics_extra import (
+        ANALYTICS_EXTRA_ORACLE_SQL,
+    )
+
+    out.update(ANALYTICS_EXTRA_ORACLE_SQL)
     return out
