@@ -39,6 +39,8 @@ __all__ = [
     "stream_append",
     "build_ivf_index",
     "search_ivf_index",
+    "check_constraints",
+    "write_audit_publish",
 ]
 
 # name → "module:attr" for the lazy public surface
@@ -67,6 +69,8 @@ _LAZY = {
     "stream_append": ".pipelines.streaming:stream_append",
     "build_ivf_index": ".pipelines.vector_index:build_ivf_index",
     "search_ivf_index": ".pipelines.vector_index:search_ivf_index",
+    "check_constraints": ".stages.constraints:check_constraints",
+    "write_audit_publish": ".pipelines.wap:write_audit_publish",
 }
 
 

@@ -70,7 +70,8 @@ def main(argv=None):
                                         "verify-merged", "verify-snapshot",
                                         "rollback", "diff", "export", "delete", "update",
                                         "tag", "untag", "tags", "curate",
-                                        "ingest"])
+                                        "ingest", "branch", "branches",
+                                        "branch-delete", "publish"])
     ap.add_argument("--name", default=None)
     ap.add_argument("--from-version", type=int, default=None)
     ap.add_argument("--out-dir", default=None)
@@ -197,6 +198,26 @@ def main(argv=None):
         from .state import manifest as _mf
 
         out = {"tags": _mf.read_tags(args.root)}
+    elif args.command == "branch":
+        t = LakeTable.load(args.root, version=args.version)
+        b = t.create_branch(args.name)
+        out = {"branch": args.name, "fork_of_main_version": t.version,
+               "branch_version": b.version}
+    elif args.command == "branches":
+        from .state import branches as _br
+
+        out = {"branches": {n: _br.read_branch_head(args.root, n)
+                            for n in _br.list_branches(args.root)}}
+    elif args.command == "branch-delete":
+        from .state import branches as _br
+
+        _br.delete_branch(args.root, args.name)
+        out = {"deleted": args.name,
+               "branches": _br.list_branches(args.root)}
+    elif args.command == "publish":
+        t = LakeTable.load(args.root).publish_branch(args.name)
+        out = dict(t.manifest.summary)
+        out["version"] = t.version
     elif args.command == "delete":
         from .stages.delete import run_delete
 

@@ -52,10 +52,15 @@ def expire_snapshots(root: str, *, keep_last: int, max_age_days: float | None = 
 
 
 def reachable_fragments(root: str) -> set:
-    """Union of fragment ids across all retained manifests."""
+    """Union of fragment ids across all retained manifests — main chain AND
+    every live branch chain (state/branches.py): branch-only fragments are
+    pinned until their branch is deleted or published."""
+    from ..state import branches as br
+
     live = set()
     for v in mf.list_manifest_versions(root):
         live |= mf.load_manifest(root, v).fragment_ids()
+    live |= br.branch_reachable_fragments(root)
     return live
 
 

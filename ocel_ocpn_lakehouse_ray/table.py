@@ -68,9 +68,13 @@ IMAGE_SCHEMA = pa.schema(
 
 
 class LakeTable:
-    def __init__(self, root: str, manifest: mf.Manifest):
+    def __init__(self, root: str, manifest: mf.Manifest,
+                 branch: str | None = None):
         self.root = root
         self.manifest = manifest
+        #: when set, commit()s route to this branch's manifest subchain
+        #: (state/branches.py) instead of main — main's _latest never moves
+        self.branch = branch
 
     # ------------------------------------------------------------ lifecycle
     @classmethod
@@ -93,13 +97,20 @@ class LakeTable:
 
     @classmethod
     def load(cls, root: str, version: int | None = None,
-             tag: str | None = None) -> "LakeTable":
+             tag: str | None = None, branch: str | None = None) -> "LakeTable":
         """Pin one manifest version; None = current latest.  ``tag`` resolves
         a named snapshot ref (mf.set_tag) — tagged versions are protected
-        from snapshot expiry."""
+        from snapshot expiry.  ``branch`` opens a writable branch head
+        (state/branches.py): reads see the branch snapshot, commits advance
+        the branch, main is untouched until publish_branch."""
+        if sum(x is not None for x in (version, tag, branch)) > 1:
+            raise ValueError("pass at most one of version / tag / branch")
+        if branch is not None:
+            from .state import branches as br
+
+            return cls(root, br.load_branch_manifest(root, branch),
+                       branch=branch)
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass either version or tag, not both")
             tags = mf.read_tags(root)
             if tag not in tags:
                 raise KeyError(f"unknown tag {tag!r}; have {sorted(tags)}")
@@ -108,10 +119,41 @@ class LakeTable:
 
     def tag(self, name: str) -> dict[str, int]:
         """Name THIS pinned version (Iceberg tag ref)."""
+        if self.branch is not None:
+            raise ValueError("tags name main-chain versions; publish first")
         return mf.set_tag(self.root, name, self.version)
 
+    # ------------------------------------------------------------ branches
+    def create_branch(self, name: str) -> "LakeTable":
+        """Fork a writable branch at THIS snapshot and return a handle on
+        it (Iceberg branch ref; write-audit-publish entry point)."""
+        from .state import branches as br
+
+        if self.branch is not None:
+            raise ValueError("branching from a branch is not supported")
+        fork = br.create_branch(self.root, name, from_version=self.version)
+        return LakeTable(self.root, fork, branch=name)
+
+    def publish_branch(self, name: str, *, delete: bool = True) -> "LakeTable":
+        """Apply the branch's net change onto current main as one commit
+        (CommitConflict if main rewrote what the branch rewrote)."""
+        from .state import branches as br
+
+        new = br.publish_branch(self.root, name, delete=delete)
+        return LakeTable(self.root, new)
+
+    def branches(self) -> list[str]:
+        from .state import branches as br
+
+        return br.list_branches(self.root)
+
     def refresh(self) -> "LakeTable":
-        self.manifest = mf.load_manifest(self.root, None)
+        if self.branch is not None:
+            from .state import branches as br
+
+            self.manifest = br.load_branch_manifest(self.root, self.branch)
+        else:
+            self.manifest = mf.load_manifest(self.root, None)
         return self
 
     # ------------------------------------------------------------ properties
@@ -192,6 +234,20 @@ class LakeTable:
 
     # ------------------------------------------------------------ write paths
     def commit(self, *, operation: str, add: list, remove_ids: set, summary: dict | None = None) -> "LakeTable":
+        if self.branch is not None:
+            from .state import branches as br
+
+            new = br.commit_to_branch(
+                self.root, self.branch,
+                base_version=self.version,
+                operation=operation,
+                add=add,
+                remove_ids=remove_ids,
+                schema=self.manifest.schema,
+                config=self.manifest.config,
+                summary=summary,
+            )
+            return LakeTable(self.root, new, branch=self.branch)
         new = mf.commit_version(
             self.root,
             base_version=self.version,
