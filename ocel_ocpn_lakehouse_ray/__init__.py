@@ -41,6 +41,7 @@ __all__ = [
     "search_ivf_index",
     "check_constraints",
     "write_audit_publish",
+    "replicate",
 ]
 
 # name → "module:attr" for the lazy public surface
@@ -71,6 +72,7 @@ _LAZY = {
     "search_ivf_index": ".pipelines.vector_index:search_ivf_index",
     "check_constraints": ".stages.constraints:check_constraints",
     "write_audit_publish": ".pipelines.wap:write_audit_publish",
+    "replicate": ".pipelines.replicate:replicate",
 }
 
 

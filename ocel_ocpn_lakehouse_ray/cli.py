@@ -71,7 +71,8 @@ def main(argv=None):
                                         "rollback", "diff", "export", "delete", "update",
                                         "tag", "untag", "tags", "curate",
                                         "ingest", "branch", "branches",
-                                        "branch-delete", "publish"])
+                                        "branch-delete", "publish",
+                                        "replicate"])
     ap.add_argument("--name", default=None)
     ap.add_argument("--from-version", type=int, default=None)
     ap.add_argument("--out-dir", default=None)
@@ -218,6 +219,13 @@ def main(argv=None):
         t = LakeTable.load(args.root).publish_branch(args.name)
         out = dict(t.manifest.summary)
         out["version"] = t.version
+    elif args.command == "replicate":
+        from .pipelines.replicate import replicate
+
+        # --root = source table; --out-dir = follower root
+        if not args.out_dir:
+            raise SystemExit("replicate requires --out-dir (follower root)")
+        out = replicate(args.root, args.out_dir)
     elif args.command == "delete":
         from .stages.delete import run_delete
 
