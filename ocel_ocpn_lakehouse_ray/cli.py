@@ -296,12 +296,12 @@ def main(argv=None):
         hints = nl_plan(args.question)
         name, result = answer(args.question, args.sf_dir, _entry.queries())
         try:
-            import pandas as _pd
             import ray.data as _rd
 
-            if isinstance(result, _rd.Dataset):
-                result = result.to_pandas()
-            rows = len(result)
+            # count() streams; never pull the full result to the driver just
+            # to report its size (VERDICT r3 residual #3)
+            rows = (result.count() if isinstance(result, _rd.Dataset)
+                    else len(result))
         except Exception:
             rows = None
         out = {"intent": name, "rows": rows, "params": hints["params"],

@@ -379,3 +379,57 @@ class LakeTable:
     # ------------------------------------------------------------ history
     def history(self) -> list[mf.Manifest]:
         return [mf.load_manifest(self.root, v) for v in mf.list_manifest_versions(self.root)]
+
+    def meta_dataset(self, kind: str):
+        """Iceberg-style metadata tables (`table$files` / `$snapshots` /
+        `$refs`) as a queryable Dataset — the metadata is already
+        driver-resident (the manifest chain), so this is a zero-copy wrap,
+        and downstream map_batches/groupby run distributed like any scan.
+
+        kinds: ``files`` (live fragments of THIS snapshot), ``snapshots``
+        (the retained manifest chain), ``refs`` (tags + branch heads)."""
+        import json as _json
+
+        import ray.data
+
+        if kind == "files":
+            frags = self.fragments
+            tbl = pa.table({
+                "fragment_id": pa.array([f.fragment_id for f in frags], pa.string()),
+                "path": pa.array([f.path for f in frags], pa.string()),
+                "rows": pa.array([f.rows for f in frags], pa.int64()),
+                "bytes": pa.array([f.bytes for f in frags], pa.int64()),
+                "stats": pa.array([_json.dumps(f.stats, sort_keys=True)
+                                   for f in frags], pa.string()),
+            })
+        elif kind == "snapshots":
+            hist = self.history()
+            tbl = pa.table({
+                "version": pa.array([m.version for m in hist], pa.int64()),
+                "parent": pa.array([m.parent for m in hist], pa.int64()),
+                "created_at": pa.array([m.created_at for m in hist], pa.float64()),
+                "operation": pa.array([m.operation for m in hist], pa.string()),
+                "fragments": pa.array([len(m.fragments) for m in hist], pa.int64()),
+                "rows": pa.array([m.total_rows for m in hist], pa.int64()),
+                "bytes": pa.array([m.total_bytes for m in hist], pa.int64()),
+                "summary": pa.array([_json.dumps(m.summary, sort_keys=True)
+                                     for m in hist], pa.string()),
+            })
+        elif kind == "refs":
+            from .state import branches as br
+
+            tags = mf.read_tags(self.root)
+            names = sorted(tags) + br.list_branches(self.root)
+            kinds = ["tag"] * len(tags) + ["branch"] * (len(names) - len(tags))
+            heads = ([tags[n] for n in sorted(tags)]
+                     + [br.read_branch_head(self.root, n)
+                        for n in names[len(tags):]])
+            tbl = pa.table({
+                "name": pa.array(names, pa.string()),
+                "type": pa.array(kinds, pa.string()),
+                "version": pa.array(heads, pa.int64()),
+            })
+        else:
+            raise ValueError(f"unknown metadata table {kind!r} "
+                             "(files | snapshots | refs)")
+        return ray.data.from_arrow(tbl)

@@ -190,3 +190,27 @@ def test_wap_blocks_bad_write(tmp_table_root):
     m = LakeTable.load(tmp_table_root)
     assert m.version == main_v and m.manifest.total_rows == 30
     assert m.branches() == []  # failed branch dropped (keep_failed=False)
+
+
+# --------------------------------------------------------- metadata tables
+
+
+def test_meta_datasets(tmp_table_root):
+    t = create_image_table(tmp_table_root, 40, num_fragments=2)
+    t.tag("prod")
+    t.create_branch("dev")
+
+    files = t.meta_dataset("files").to_pandas()
+    assert len(files) == len(t.fragments)
+    assert files["rows"].sum() == 40
+    assert set(files.columns) == {"fragment_id", "path", "rows", "bytes", "stats"}
+
+    snaps = t.meta_dataset("snapshots").to_pandas()
+    assert list(snaps["version"]) == [0, 1]
+    assert list(snaps["operation"]) == ["create", "append"]
+
+    refs = t.meta_dataset("refs").to_pandas()
+    assert set(zip(refs["name"], refs["type"])) == {("prod", "tag"), ("dev", "branch")}
+
+    with pytest.raises(ValueError):
+        t.meta_dataset("nope")
