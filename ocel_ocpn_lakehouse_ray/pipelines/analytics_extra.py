@@ -192,11 +192,68 @@ WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
 """
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((event_type), (dow)) in one scan: per-batch partial
+    value_counts for BOTH keys (combiner), then one bounded groupby-sum
+    over |types| + 7 partial rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        by_type = df["event_type"].value_counts()
+        by_dow = df["ts"].dt.dayofweek.value_counts()
+        return pd.DataFrame({
+            "g": ["type"] * len(by_type) + ["dow"] * len(by_dow),
+            "k": [str(v) for v in by_type.index] + [str(v) for v in by_dow.index],
+            "n": np.concatenate([by_type.to_numpy(), by_dow.to_numpy()]).astype(np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["g", "k"]).aggregate(Sum("n", alias_name="n")))
+
+
+SQL_GROUPING_SETS = """
+WITH d AS (SELECT event_type, isodow(ts) - 1 AS dow FROM events)
+SELECT CASE WHEN GROUPING(event_type) = 0 THEN 'type' ELSE 'dow' END AS g,
+       COALESCE(event_type, CAST(dow AS VARCHAR)) AS k,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY GROUPING SETS ((event_type), (dow))
+"""
+
+
+def q_value_delta(sf_dir: str):
+    """lag() window: per-user event-over-event value change in time order.
+    One user-bucketed shuffle; vectorized grouped shift inside the bucket
+    (ties broken by event_id to keep the frame deterministic)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id", sort=False)["value"].shift(1)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "delta": (g["value"] - prev).to_numpy(),
+        })
+
+    return bucketed_groups(ds, "user_id", per_bucket)
+
+
+SQL_VALUE_DELTA = """
+SELECT event_id,
+       value - lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS delta
+FROM events
+"""
+
+
 ANALYTICS_EXTRA_QUERIES = {
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "pivot_dow": q_pivot_dow,
     "stratified_sample": q_stratified_sample,
+    "grouping_sets": q_grouping_sets,
+    "value_delta": q_value_delta,
 }
 
 ANALYTICS_EXTRA_ORACLE_SQL = {
@@ -204,4 +261,6 @@ ANALYTICS_EXTRA_ORACLE_SQL = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "pivot_dow": SQL_PIVOT_DOW,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "grouping_sets": SQL_GROUPING_SETS,
+    "value_delta": SQL_VALUE_DELTA,
 }

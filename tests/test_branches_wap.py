@@ -214,3 +214,22 @@ def test_meta_datasets(tmp_table_root):
 
     with pytest.raises(ValueError):
         t.meta_dataset("nope")
+
+
+def test_maintenance_job_on_branch_then_publish(tmp_table_root):
+    """Staged maintenance (the WAP story for rewrites): run compaction ON A
+    BRANCH — commit routing keeps main untouched — then publish applies the
+    rewrite to main as one net-change commit."""
+    from ocel_ocpn_lakehouse_ray.stages.compaction import run_compaction
+
+    t = create_image_table(tmp_table_root, 60, num_fragments=6)
+    main_v, main_frags = t.version, len(t.fragments)
+    b = t.create_branch("maint")
+    b2, rep = run_compaction(b, job_id="branch-compact")
+    assert b2.branch == "maint"
+    assert len(b2.fragments) < main_frags
+    m = LakeTable.load(tmp_table_root)
+    assert m.version == main_v and len(m.fragments) == main_frags  # isolated
+    pub = m.publish_branch("maint")
+    assert len(pub.fragments) == len(b2.fragments)
+    assert _ids(pub) == _ids(b2)
