@@ -95,10 +95,17 @@ def main(argv=None):
     ap.add_argument("--max-age-days", type=float, default=None)
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--version", type=int, default=None)
+    ap.add_argument("--branch", default=None,
+                    help="stage this job's commits on a branch (WAP: "
+                         "branch -> run jobs --branch -> verify -> publish)")
     args = ap.parse_args(argv)
 
     _init_ray(args.num_cpus)
     from .table import LakeTable
+
+    def _load_wb():
+        """Working handle for write jobs: branch-routed when --branch."""
+        return LakeTable.load(args.root, branch=args.branch)
 
     if args.command == "create":
         from .sources.generator import create_image_table
@@ -110,17 +117,17 @@ def main(argv=None):
     elif args.command == "compact":
         from .stages.compaction import run_compaction
 
-        _, out = run_compaction(LakeTable.load(args.root), job_id=args.job_id)
+        _, out = run_compaction(_load_wb(), job_id=args.job_id)
     elif args.command == "cluster":
         from .stages.clustering import run_clustering
 
-        _, out = run_clustering(LakeTable.load(args.root), order=args.order,
+        _, out = run_clustering(_load_wb(), order=args.order,
                                 job_id=args.job_id)
     elif args.command == "merge":
         from .sources.generator import merge_source_dataset
         from .stages.merge import run_merge
 
-        t = LakeTable.load(args.root)
+        t = _load_wb()
         n = args.source_rows or t.manifest.total_rows
         src = merge_source_dataset(n, seed=args.seed, num_blocks=max(4, n // 500))
         _, out = run_merge(t, src, job_id=args.job_id)
@@ -229,12 +236,12 @@ def main(argv=None):
     elif args.command == "delete":
         from .stages.delete import run_delete
 
-        _, out = run_delete(LakeTable.load(args.root),
+        _, out = run_delete(_load_wb(),
                             json.loads(args.where), job_id=args.job_id)
     elif args.command == "update":
         from .stages.update import run_update
 
-        _, out = run_update(LakeTable.load(args.root), json.loads(args.where),
+        _, out = run_update(_load_wb(), json.loads(args.where),
                             json.loads(args.set_exprs), job_id=args.job_id)
     elif args.command == "rollback":
         t = LakeTable.load(args.root)

@@ -144,7 +144,8 @@ def run_clustering(table, *, order: str | None = None, job_id: str | None = None
 
     cfg = table.config
     order = order or (cfg.cluster_order if cfg.cluster_order != "none" else "zorder")
-    job_id = job_id or f"cluster-{order}-v{table.version}"
+    chain = f"b-{table.branch}-" if getattr(table, "branch", None) else ""
+    job_id = job_id or f"cluster-{order}-{chain}v{table.version}"
     t0 = time.time()
 
     meta = lineage.load_job_meta(table.root, job_id)

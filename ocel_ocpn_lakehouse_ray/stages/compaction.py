@@ -125,7 +125,8 @@ def run_compaction(table, *, job_id: str | None = None, failpoint: int | None = 
     import ray.data
 
     cfg = table.config
-    job_id = job_id or f"compact-v{table.version}"
+    chain = f"b-{table.branch}-" if getattr(table, "branch", None) else ""
+    job_id = job_id or f"compact-{chain}v{table.version}"
     t0 = time.time()
     plan = plan_compaction(
         table.fragments,

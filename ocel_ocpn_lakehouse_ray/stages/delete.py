@@ -137,7 +137,8 @@ def run_delete(table, predicates: list[dict], *, job_id: str | None = None,
     import ray.data
 
     fp = predicate_fingerprint(predicates)
-    job_id = job_id or f"delete-v{table.version}-{fp}"
+    chain = f"b-{table.branch}-" if getattr(table, "branch", None) else ""
+    job_id = job_id or f"delete-{chain}v{table.version}-{fp}"
     t0 = time.time()
     candidates = [f for f in table.fragments
                   if _fragment_may_match(f, predicates)]

@@ -226,7 +226,8 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
     import ray.data
 
     cfg = table.config
-    job_id = job_id or f"merge-v{table.version}"
+    chain = f"b-{table.branch}-" if getattr(table, "branch", None) else ""
+    job_id = job_id or f"merge-{chain}v{table.version}"
     t0 = time.time()
     ph = {}  # per-phase seconds (stage_source / plan / shuffle / commit)
 

@@ -130,7 +130,8 @@ def run_update(table, predicates: list[dict], sets: list[dict], *,
     import ray.data
 
     fp = predicate_fingerprint(predicates, sets)
-    job_id = job_id or f"update-v{table.version}-{fp}"
+    chain = f"b-{table.branch}-" if getattr(table, "branch", None) else ""
+    job_id = job_id or f"update-{chain}v{table.version}-{fp}"
     t0 = time.time()
     candidates = [f for f in table.fragments
                   if _fragment_may_match(f, predicates)]
