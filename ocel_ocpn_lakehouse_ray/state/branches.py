@@ -227,11 +227,24 @@ def publish_branch(root: str, name: str, *, delete: bool = True) -> mf.Manifest:
     added = [f for f in head.fragments if f.fragment_id not in fork_ids]
     removed = fork_ids - head_ids
     current = mf.load_manifest(root)
+    cur_ids = current.fragment_ids()
+    # crash-resume idempotency: a publish that committed but crashed before
+    # deleting the branch must not raise (or double-apply) on retry.  The
+    # publish commit itself is the discriminator — fragment-set heuristics
+    # can't tell "already applied" from "main rewrote the same fragments".
+    for v in reversed(mf.list_manifest_versions(root)):
+        m = mf.load_manifest(root, v)
+        if (m.operation == "publish_branch"
+                and m.summary.get("branch") == name
+                and m.summary.get("branch_head") == head.version):
+            if delete:
+                delete_branch(root, name)
+            return current
     # commit_version validates removals only when REBASING; a publish whose
     # base is already latest would silently no-op a removal main already
     # rewrote — check liveness explicitly (raced commits re-validate inside
     # commit_version's rebase path)
-    gone = removed - current.fragment_ids()
+    gone = removed - cur_ids
     if gone:
         raise mf.CommitConflict(
             f"branch {name}: fragments {sorted(gone)[:3]}... were rewritten "

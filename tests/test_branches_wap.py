@@ -233,3 +233,33 @@ def test_maintenance_job_on_branch_then_publish(tmp_table_root):
     pub = m.publish_branch("maint")
     assert len(pub.fragments) == len(b2.fragments)
     assert _ids(pub) == _ids(b2)
+
+
+def test_publish_retry_after_crash_is_idempotent(tmp_table_root):
+    """Crash window: publish committed to main but died before deleting the
+    branch.  A retry must return the applied state, not raise or
+    double-apply; a pure-delete branch whose fragment main independently
+    compacted must still CONFLICT (the fragment heuristic can't tell these
+    apart — the publish commit record can)."""
+    t = create_image_table(tmp_table_root, 40, num_fragments=2)
+    b = t.create_branch("w")
+    b = b.append_arrow(gen_batch(np.arange(40, 50)))
+    # simulate the crash: publish with delete=False (commit durable, branch
+    # still on disk), then retry the normal way
+    LakeTable.load(tmp_table_root).publish_branch("w", delete=False)
+    rows_after = LakeTable.load(tmp_table_root).manifest.total_rows
+    pub2 = LakeTable.load(tmp_table_root).publish_branch("w")
+    assert pub2.manifest.total_rows == rows_after  # no double-apply
+    assert LakeTable.load(tmp_table_root).branches() == []
+
+    # contrast: same fragment set shape via an INDEPENDENT main rewrite is
+    # still a conflict, not a silent no-op
+    t2root = tmp_table_root + "2"
+    t2 = create_image_table(t2root, 40, num_fragments=4)
+    b2 = t2.create_branch("del")
+    victim = b2.fragments[0]
+    b2.commit(operation="delete", add=[], remove_ids={victim.fragment_id})
+    LakeTable.load(t2root).commit(operation="compact", add=[],
+                                  remove_ids={victim.fragment_id})
+    with pytest.raises(mf.CommitConflict):
+        LakeTable.load(t2root).publish_branch("del")
