@@ -195,12 +195,29 @@ class LakeTable:
         **read_kwargs,
     ):
         """Live fragment list → ray.data.Dataset (reference S2).  Columns are
-        pruned at the read; predicates prune whole fragments via manifest stats
-        (row-level filtering stays the caller's map_batches job)."""
+        pruned at the read; predicates [(col, lo, hi), ...] prune at THREE
+        levels: whole fragments via manifest stats, row groups via parquet
+        statistics, and rows via the pushed-down arrow filter expression —
+        the scan returns exactly the rows in every predicate's inclusive
+        range.  (Evolved-schema tables skip the row-level pushdown: old
+        fragments may lack the predicate column, which the filter cannot
+        reference; fragment-level pruning still applies.)"""
         import ray.data
 
         frags = self.live_fragments(predicates)
         schema = self.schema
+        if predicates and not self.manifest.config.get("schema_evolved"):
+            import pyarrow.compute as _pc
+
+            expr = None
+            for col, lo, hi in predicates:
+                for e in ((_pc.field(col) >= lo) if lo is not None else None,
+                          (_pc.field(col) <= hi) if hi is not None else None):
+                    if e is None:
+                        continue
+                    expr = e if expr is None else (expr & e)
+            if expr is not None:
+                read_kwargs.setdefault("filter", expr)
         if not frags:
             tbl = schema.empty_table()
             return ray.data.from_arrow(tbl.select(columns) if columns else tbl)

@@ -89,6 +89,11 @@ def test_fragment_pruning_by_stats(tmp_table_root):
     assert len(t.fragments) == 3
     live = t.live_fragments([("image_id", "img_000000000150", "img_000000000160")])
     assert len(live) == 1
-    # pruned scan returns exactly the in-range rows' fragment
+    # the pruned scan pushes the row-level filter down too: exactly the rows
+    # in the inclusive range come back (150..160), not the whole fragment
     ds = t.to_dataset(columns=["image_id"], predicates=[("image_id", "img_000000000150", "img_000000000160")])
-    assert ds.count() == 100
+    got = sorted(ds.to_pandas()["image_id"])
+    assert got == sorted(gen_batch(np.arange(150, 161))["image_id"].to_pylist())
+    # open-ended bound: hi=None means ">= lo"
+    assert t.to_dataset(columns=["image_id"],
+                        predicates=[("image_id", "img_000000000290", None)]).count() == 10
