@@ -73,3 +73,59 @@ def test_full_story(tmp_path):
     assert t3.version == t2.version + 1
     d = t3.diff(t2.version)
     assert d["added_rows"] == drep["deleted"] or d["added_fragments"] > 0
+
+
+def test_full_story_second_wave(tmp_path):
+    """Round-4 second-wave capstone: WAP-staged maintenance on a branch →
+    constraint audit → publish → follower replication → metadata tables all
+    compose on one table."""
+    from ocel_ocpn_lakehouse_ray.pipelines.replicate import replicate
+    from ocel_ocpn_lakehouse_ray.pipelines.wap import write_audit_publish
+    from ocel_ocpn_lakehouse_ray.sources.generator import gen_batch
+    from ocel_ocpn_lakehouse_ray.stages.constraints import check_constraints
+
+    root = str(tmp_path / "t")
+    t = create_image_table(root, 200, num_fragments=8, seed=7)
+
+    # replicate the initial state to a follower
+    dst = str(tmp_path / "follower")
+    rep = replicate(root, dst)
+    assert rep["applied"]
+
+    # WAP a clean append
+    wrep = write_audit_publish(
+        root,
+        lambda b: b.append_arrow(gen_batch(np.arange(200, 240), 7)),
+        [{"type": "not_null", "column": "caption"},
+         {"type": "unique", "columns": ["image_id"]}])
+    assert wrep["published"]
+    t = LakeTable.load(root)
+    assert t.manifest.total_rows == 240
+
+    # stage compaction + DML on a branch, audit the BRANCH, publish
+    b = t.create_branch("maint")
+    b, _ = run_compaction(b, job_id="sw-c")
+    b, drep = run_delete(b, [{"column": "w", "op": "between",
+                              "lo": 48, "hi": 64}], job_id="sw-d")
+    audit = check_constraints(b.to_dataset(columns=["image_id", "caption"]),
+                              [{"type": "unique", "columns": ["image_id"]},
+                               {"type": "not_null", "column": "caption"}])
+    assert audit["passed"]
+    assert LakeTable.load(root).manifest.total_rows == 240  # main untouched
+    pub = LakeTable.load(root).publish_branch("maint")
+    assert pub.manifest.total_rows == 240 - drep["deleted"]
+
+    # follower syncs the published rewrite (mirror mode) and converges
+    rep2 = replicate(root, dst)
+    assert rep2["applied"] and rep2["mode"] == "mirror"
+    f = LakeTable.load(dst)
+    assert (sorted(f.to_arrow(columns=["image_id"])["image_id"].to_pylist())
+            == sorted(pub.to_arrow(columns=["image_id"])["image_id"].to_pylist()))
+
+    # metadata tables reflect the story
+    snaps = pub.meta_dataset("snapshots").to_pandas()
+    assert "publish_branch" in set(snaps["operation"])
+    files = pub.meta_dataset("files").to_pandas()
+    assert files["rows"].sum() == pub.manifest.total_rows
+    refs = LakeTable.load(dst).meta_dataset("refs").to_pandas()
+    assert len(refs) == 0  # follower has no refs of its own
