@@ -36,3 +36,30 @@ def test_clustering_improves_phash_pruning(tmp_path):
     for b in t2.to_dataset(columns=["phash"]).iter_batches(batch_format="pyarrow"):
         full += pc.sum(pc.equal(b["phash"], hot)).as_py() or 0
     assert cnt == full and full > 0
+
+
+def test_sample_boundaries_subsampled_path(tmp_path):
+    """Exercise the frac<1.0 sampled branch of sample_boundaries (large
+    tables take it; toy tables sample everything) and its determinism."""
+    from ocel_ocpn_lakehouse_ray.stages.clustering import sample_boundaries
+
+    root = str(tmp_path / "t")
+    t = create_image_table(root, 300, num_fragments=10)
+    b1 = sample_boundaries(t, "zorder", 4, sample_frac=0.05)
+    b2 = sample_boundaries(t, "zorder", 4, sample_frac=0.05)
+    assert b1 == b2 and len(b1) == 3
+    assert all(b1[i] < b1[i + 1] for i in range(len(b1) - 1))
+    # boundaries from the subsample partition the full key space sanely:
+    # every partition gets a non-trivial share of rows
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocel_ocpn_lakehouse_ray.stages.clustering import _salted
+
+    keys = np.concatenate([
+        _salted(pq.read_table(p, columns=["phash", "w", "h", "image_id"]),
+                "zorder")
+        for p in t.fragment_paths()])
+    counts = np.bincount(np.searchsorted(np.array(b1, np.uint64), keys,
+                                         side="right"), minlength=4)
+    assert counts.min() >= len(keys) * 0.05, counts
