@@ -78,3 +78,14 @@ def test_rows_only_queries_run(name):
     # entries without oracle SQL must still run and return rows
     df = to_pandas(QUERIES[name](SF_DIR))
     assert len(df) > 0, name
+
+
+def test_auto_join_plans_equivalent(monkeypatch):
+    # auto_join must give identical results whichever plan the size rule
+    # picks: force broadcast and shuffle and compare (J1 stays exercised
+    # even though the bench-scale tables all fall under the broadcast cap).
+    results = {}
+    for mode in ("broadcast", "shuffle"):
+        monkeypatch.setenv("GRAFT_JOIN", mode)
+        results[mode] = normalize(to_pandas(QUERIES["revenue_by_nation"](SF_DIR)))
+    pd.testing.assert_frame_equal(results["broadcast"], results["shuffle"])
