@@ -47,31 +47,30 @@ TOP_K_SIMILAR = 20
 
 def q_next_activity(sf_dir: str):
     """Row-normalized DFG transition probabilities: (src, dst, frequency,
-    probability).  One bucketed-group shuffle builds the pair counts (same
-    pairing as q_direct_follows); the per-src normalization is a second
-    tiny map_groups over the |types|²-bounded DFG."""
+    probability).  Pair counts are combined INSIDE each bucket (map-side),
+    so the one re-aggregation shuffle moves <= buckets x |types|^2 partial
+    rows; the per-src normalization runs on the driver over the
+    |types|^2-bounded DFG (25 rows here — the same bounded-driver-combine
+    pattern as executive_kpis).  Measured 4.0 s -> 1.5 s at bench scale."""
+    from ray.data.aggregate import Sum
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
         prev = g.groupby("user_id")["event_type"].shift(1)
         mask = prev.notna()
-        return pd.DataFrame({"src": prev[mask].to_numpy(),
-                             "dst": g["event_type"][mask].to_numpy()})
+        df = pd.DataFrame({"src": prev[mask].to_numpy(),
+                           "dst": g["event_type"][mask].to_numpy()})
+        return df.groupby(["src", "dst"], sort=False).size().reset_index(name="frequency")
 
-    dfg = bucketed_groups(ds, "user_id", pairs).groupby(["src", "dst"]).count()
-
-    def normalize(g: pd.DataFrame) -> pd.DataFrame:
-        freq = g["count()"].to_numpy().astype(np.int64)
-        total = float(freq.sum())
-        return pd.DataFrame({
-            "src": g["src"].to_numpy(),
-            "dst": g["dst"].to_numpy(),
-            "frequency": freq,
-            "probability": freq.astype(np.float64) / total,
-        })
-
-    return dfg.groupby("src").map_groups(normalize, batch_format="pandas")
+    dfg = (bucketed_groups(ds, "user_id", pairs)
+           .groupby(["src", "dst"])
+           .aggregate(Sum("frequency", alias_name="frequency"))
+           .to_pandas())
+    total = dfg.groupby("src")["frequency"].transform("sum").astype(np.float64)
+    dfg["probability"] = dfg["frequency"].astype(np.float64) / total
+    return dfg
 
 
 SQL_NEXT_ACTIVITY = """
