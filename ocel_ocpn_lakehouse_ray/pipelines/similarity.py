@@ -61,29 +61,28 @@ def _matrix(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, m / norms
 
 
-class _TopKScorer:
-    """Actor: holds the broadcast query matrix; per batch emits block-local
-    top-k candidates per query (float64 cosine; ties broken by vec_id)."""
+def _make_topk_scorer(q_ref, k):
+    """Per-batch block-local top-k scorer against the broadcast query matrix
+    (float64 cosine; ties broken by vec_id).  A plain map TASK, not an actor:
+    the only per-worker state is the broadcast ref, and ray.get of it inside
+    a task is a zero-copy read from node-local plasma — actor-pool spin-up
+    cost ~2 s per query at bench scale for no benefit (see broadcast_join)."""
+    import ray
 
-    def __init__(self, q_ref, k):
-        import ray
-
-        self.q_ids, self.q_mat = ray.get(q_ref)
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def score(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(q_ref)
         ids, m = _matrix(batch)
-        sims = self.q_mat @ m.T  # (nq, batch)
+        sims = q_mat @ m.T  # (nq, batch)
         out_q, out_n, out_s = [], [], []
-        for qi in range(len(self.q_ids)):
+        for qi in range(len(q_ids)):
             s = sims[qi]
-            mask = ids != self.q_ids[qi]  # exclude self-match
+            mask = ids != q_ids[qi]  # exclude self-match
             cand_idx = np.nonzero(mask)[0]
             if len(cand_idx) == 0:
                 continue
-            order = np.lexsort((ids[cand_idx], -s[cand_idx]))[: self.k]
+            order = np.lexsort((ids[cand_idx], -s[cand_idx]))[:k]
             pick = cand_idx[order]
-            out_q.extend([self.q_ids[qi]] * len(pick))
+            out_q.extend([q_ids[qi]] * len(pick))
             out_n.extend(ids[pick].tolist())
             out_s.extend(s[pick].tolist())
         return pa.table({
@@ -92,26 +91,26 @@ class _TopKScorer:
             "sim": pa.array(out_s, pa.float64()),
         })
 
+    return score
+
 
 def q_knn_bruteforce(sf_dir: str):
     """Exact cosine top-K neighbors for the first N_QUERIES vectors.  The
-    query rows are filtered on the WORKERS (predicate map over the read) —
-    the driver receives only the N_QUERIES query vectors, never the corpus."""
+    query rows come from a row-filter-pushed-down parquet scan (only matching
+    row groups leave storage) — the driver receives only the N_QUERIES query
+    vectors, never the corpus."""
+    import pyarrow.compute as _pc
     import ray
 
-    q_src = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
-        .map_batches(
-            lambda b: b.filter(pa.compute.less(b["vec_id"], pa.scalar(N_QUERIES))),
-            batch_format="pyarrow",
-        )
+    q_src = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                       filter=_pc.field("vec_id") < N_QUERIES)
     q_tbl = pa.concat_tables(
         q_src.iter_batches(batch_format="pyarrow")
     ).combine_chunks().sort_by("vec_id")
     q_ref = ray.put(_matrix(q_tbl))
     ds = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     partials = ds.map_batches(
-        _TopKScorer, fn_constructor_args=(q_ref, K),
-        batch_format="pyarrow", concurrency=(1, 4),
+        _make_topk_scorer(q_ref, K), batch_format="pyarrow",
     ).to_pandas()
     # final combine: global top-k per query (tiny)
     partials = partials.sort_values(["query_id", "sim", "neighbor_id"],
@@ -133,26 +132,25 @@ SELECT query_id, neighbor_id FROM (
 """
 
 
-class _DedupScorer:
+def _make_dedup_scorer(corpus_ref, threshold):
     """Near-dup pairs: each batch scores against the broadcast corpus and
-    emits canonical (a < b) pairs above the rounded threshold."""
+    emits canonical (a < b) pairs above the rounded threshold.  Task-based
+    for the same reason as _make_topk_scorer."""
+    import ray
 
-    def __init__(self, corpus_ref, threshold):
-        import ray
-
-        self.c_ids, self.c_mat = ray.get(corpus_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def score(batch: pa.Table) -> pa.Table:
+        c_ids, c_mat = ray.get(corpus_ref)
         ids, m = _matrix(batch)
-        sims = m @ self.c_mat.T
+        sims = m @ c_mat.T
         bi, cj = np.nonzero(
-            (np.round(sims, 6) >= self.threshold) & (ids[:, None] < self.c_ids[None, :])
+            (np.round(sims, 6) >= threshold) & (ids[:, None] < c_ids[None, :])
         )
         return pa.table({
             "a": pa.array(ids[bi], pa.int64()),
-            "b": pa.array(self.c_ids[cj], pa.int64()),
+            "b": pa.array(c_ids[cj], pa.int64()),
         })
+
+    return score
 
 
 def q_embedding_dedup_exact(sf_dir: str):
@@ -167,8 +165,7 @@ def q_embedding_dedup_exact(sf_dir: str):
     ref = ray.put(_matrix(corpus))
     ds = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ds.map_batches(
-        _DedupScorer, fn_constructor_args=(ref, DEDUP_THRESHOLD),
-        batch_format="pyarrow", concurrency=(1, 4),
+        _make_dedup_scorer(ref, DEDUP_THRESHOLD), batch_format="pyarrow",
     )
 
 
