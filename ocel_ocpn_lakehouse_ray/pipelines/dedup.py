@@ -76,8 +76,11 @@ def q_minhash_lsh_pairs(sf_dir: str):
                 for b in ids[i + 1:]:
                     out_a.append(a)
                     out_b.append(b)
+        # local dedup before the pair shuffle: the same pair surfacing from
+        # two band keys of this coarse bucket travels once, not twice
         return pd.DataFrame({"a": pd.Series(out_a, dtype=np.int64),
-                             "b": pd.Series(out_b, dtype=np.int64)})
+                             "b": pd.Series(out_b, dtype=np.int64)}
+                            ).drop_duplicates(["a", "b"])
 
     pairs = bucketed_groups(
         ds.map_batches(band_rows, batch_format="pyarrow"), "band", bucket_pairs
