@@ -437,8 +437,20 @@ def main():
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--profile", default=None, metavar="QUERY",
                     help="print ds.stats() for one registry query and exit")
+    ap.add_argument("--stress", action="store_true",
+                    help="maintenance lifecycle at 8x the bench tier "
+                         "(reproduces the fixed-cost-amortization evidence "
+                         "in BASELINE.md; single rep unless GRAFT_BENCH_REPS "
+                         "is set)")
     args = ap.parse_args()
-    if args.profile:
+    if args.stress:
+        os.environ.setdefault("GRAFT_BENCH_REPS", "1")
+        from ocel_ocpn_lakehouse_ray.pipelines.maintenance_queries import _scale_n
+
+        rows = args.rows or 8 * _scale_n(args.sf_dir)
+        print(json.dumps(run_bench(args.cpus, args.sf_dir,
+                                   maintenance_only=True, rows=rows)))
+    elif args.profile:
         run_profile(args.profile, args.sf_dir, args.cpus)
     elif args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, low=args.scaling_low,
