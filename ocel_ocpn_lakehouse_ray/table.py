@@ -97,14 +97,28 @@ class LakeTable:
 
     @classmethod
     def load(cls, root: str, version: int | None = None,
-             tag: str | None = None, branch: str | None = None) -> "LakeTable":
+             tag: str | None = None, branch: str | None = None,
+             as_of: float | None = None) -> "LakeTable":
         """Pin one manifest version; None = current latest.  ``tag`` resolves
         a named snapshot ref (mf.set_tag) — tagged versions are protected
         from snapshot expiry.  ``branch`` opens a writable branch head
         (state/branches.py): reads see the branch snapshot, commits advance
-        the branch, main is untouched until publish_branch."""
-        if sum(x is not None for x in (version, tag, branch)) > 1:
-            raise ValueError("pass at most one of version / tag / branch")
+        the branch, main is untouched until publish_branch.  ``as_of`` (unix
+        seconds) resolves the LATEST surviving main-chain version whose
+        commit time is <= as_of (Iceberg FOR TIMESTAMP AS OF): among the
+        not-yet-expired manifests, the one that was current at that instant."""
+        if sum(x is not None for x in (version, tag, branch, as_of)) > 1:
+            raise ValueError("pass at most one of version / tag / branch / as_of")
+        if as_of is not None:
+            best = None
+            for v in mf.list_manifest_versions(root):
+                m = mf.load_manifest(root, v)
+                if m.created_at <= as_of and (best is None or v > best):
+                    best = v
+            if best is None:
+                raise FileNotFoundError(
+                    f"no surviving snapshot at or before as_of={as_of}")
+            version = best
         if branch is not None:
             from .state import branches as br
 

@@ -116,3 +116,23 @@ def test_tags_pin_load_and_survive_expiry(table):
     assert v0 in rep2["expired"]
     with pytest.raises(KeyError):
         LakeTable.load(table.root, tag="prod")
+
+
+def test_load_as_of_timestamp(table):
+    import time as _time
+
+    v1 = table.version
+    t1_created = table.manifest.created_at
+    _time.sleep(0.05)  # guarantee distinct commit timestamps
+    t2 = table.append_arrow(gen_batch(np.arange(10**6, 10**6 + 40), 11))
+    # between the two commits: resolves to v1
+    mid = (t1_created + t2.manifest.created_at) / 2
+    assert LakeTable.load(table.root, as_of=mid).version == v1
+    # at/after the second commit: resolves to v2
+    assert LakeTable.load(table.root, as_of=_time.time() + 1).version == t2.version
+    # before the table existed: error
+    with pytest.raises(FileNotFoundError):
+        LakeTable.load(table.root, as_of=t1_created - 10)
+    # mutually exclusive with version
+    with pytest.raises(ValueError):
+        LakeTable.load(table.root, version=v1, as_of=mid)
