@@ -44,21 +44,27 @@ def _pixels(w: int, h: int, pix_seed: int) -> np.ndarray:
     return ((base + noise) % 256).astype(np.uint8)
 
 
-def gen_batch(ids: np.ndarray, seed: int = 42) -> pa.Table:
-    """Row index array → IMAGE_SCHEMA Arrow batch (deterministic)."""
-    ids = np.asarray(ids, dtype=np.uint64)
+def _meta_fields(ids: np.ndarray, seed: int):
+    """Shared deterministic field derivation: (u, w, h, is_png, hot,
+    hot_pick, captions) for a row-index array."""
     u = mix2(np.uint64(seed), ids)
     w = SIZES[(u % np.uint64(5)).astype(np.int64)]
     h = SIZES[((u >> np.uint64(8)) % np.uint64(5)).astype(np.int64)]
     is_png = ((u >> np.uint64(16)) % np.uint64(10)) < np.uint64(7)  # 70 % png
     hot = ((u >> np.uint64(24)) % np.uint64(HOT_FRACTION_MOD)) == np.uint64(0)
     hot_pick = HOT_PHASHES[((u >> np.uint64(28)) % np.uint64(3)).astype(np.int64)]
-
     cap_i = [
         f"a {_ADJ[int(x) & 7]} {_NOUN[(int(x) >> 3) & 7]} "
         f"{_VERB[(int(x) >> 6) & 7]} {_PLACE[(int(x) >> 9) & 7]} #{int(i)}"
         for x, i in zip(u >> np.uint64(32), ids)
     ]
+    return u, w, h, is_png, hot, hot_pick, cap_i
+
+
+def gen_batch(ids: np.ndarray, seed: int = 42) -> pa.Table:
+    """Row index array → IMAGE_SCHEMA Arrow batch (deterministic)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    u, w, h, is_png, hot, hot_pick, cap_i = _meta_fields(ids, seed)
 
     blobs, phash = [], np.empty(len(ids), dtype=np.uint64)
     for k in range(len(ids)):
@@ -124,6 +130,63 @@ def gen_update_batch(ids: np.ndarray, seed: int = 42) -> pa.Table:
         },
         schema=IMAGE_SCHEMA,
     )
+
+
+def gen_pixels(ids: np.ndarray, seed: int = 42):
+    """Expected META columns + expected DECODED pixels, skipping the encode
+    step: returns (meta_table without 'bytes', [np.uint8 (h,w,3) arrays]).
+    For ``jpeg`` rows the pixels are post-quantization — exactly what
+    decode_image of the stored bytes must yield.  This is the post-merge
+    verify gate's input: the north_star invariant compares DECODED pixels,
+    so regenerating (and zlib-compressing) the expected byte stream per row
+    is pure overhead there."""
+    from ..functions.codec import quantize_lossy
+
+    ids = np.asarray(ids, dtype=np.uint64)
+    u, w, h, is_png, hot, hot_pick, cap_i = _meta_fields(ids, seed)
+    pixels, phash = [], np.empty(len(ids), dtype=np.uint64)
+    for k in range(len(ids)):
+        arr = _pixels(int(w[k]), int(h[k]), int(u[k]))
+        if hot[k]:
+            phash[k] = hot_pick[k]
+        else:
+            phash[k] = splitmix64(np.uint64(zlib.crc32(arr.tobytes())) ^ u[k])
+        pixels.append(arr if is_png[k] else quantize_lossy(arr))
+    meta = pa.table({
+        "image_id": [f"img_{int(i):012d}" for i in ids],
+        "w": w,
+        "h": h,
+        "fmt": np.where(is_png, "png", "jpeg").tolist(),
+        "caption": cap_i,
+        "phash": phash.view(np.int64),
+    })
+    return meta, pixels
+
+
+def gen_update_pixels(ids: np.ndarray, seed: int = 42):
+    """gen_pixels twin of gen_update_batch: meta + decoded pixels of the F2
+    updated rows (caption + ' (rev2)', re-generated pixel content)."""
+    from ..functions.codec import quantize_lossy
+
+    ids = np.asarray(ids, dtype=np.uint64)
+    u, w, h, is_png, hot, hot_pick, cap_i = _meta_fields(ids, seed)
+    pixels, phash = [], np.empty(len(ids), dtype=np.uint64)
+    for k in range(len(ids)):
+        arr = _pixels(int(w[k]), int(h[k]), int(mix2(u[k], np.uint64(999))))
+        if hot[k]:
+            phash[k] = hot_pick[k]  # hot rows keep the base (hot) phash
+        else:
+            phash[k] = splitmix64(np.uint64(zlib.crc32(arr.tobytes())) ^ u[k])
+        pixels.append(arr if is_png[k] else quantize_lossy(arr))
+    meta = pa.table({
+        "image_id": [f"img_{int(i):012d}" for i in ids],
+        "w": w,
+        "h": h,
+        "fmt": np.where(is_png, "png", "jpeg").tolist(),
+        "caption": [c + " (rev2)" for c in cap_i],
+        "phash": phash.view(np.int64),
+    })
+    return meta, pixels
 
 
 def synth_images_dataset(n: int, seed: int = 42, num_blocks: int | None = None):

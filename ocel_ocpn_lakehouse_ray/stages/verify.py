@@ -187,7 +187,13 @@ def verify_merged_map_only(table, *, n: int, seed: int = 42,
     """
     import ray
 
-    from ..sources.generator import _update_mask, gen_batch, gen_update_batch
+    from ..sources.generator import (
+        _update_mask,
+        gen_batch,
+        gen_pixels,
+        gen_update_batch,
+        gen_update_pixels,
+    )
 
     cs_schema = pa.schema(list(REPORT_SCHEMA)
                           + [("cs1", pa.uint64()), ("cs2", pa.uint64())])
@@ -208,15 +214,31 @@ def verify_merged_map_only(table, *, n: int, seed: int = 42,
         cap_bad = meta_bad = pix_bad = 0
         pairs = 0
         min_psnr = float("inf")
-        for sel, gen in (
-            (in_base & ~upd, lambda x: gen_batch(x, seed)),
-            (upd, lambda x: gen_update_batch(x, seed)),
-            (ins_ok, lambda x: gen_batch(x, seed + 7)),
-        ):
+        # The POST-MERGE gate compares against expected DECODED PIXELS
+        # (gen_pixels — the literal north_star invariant) so the expected
+        # byte stream is never re-encoded; the SNAPSHOT gate (merged=False)
+        # keeps the stricter byte-identity comparison against the canonical
+        # encoding (gen_batch), proving the pinned version byte-faithful.
+        if merged:
+            branches = (
+                (in_base & ~upd, lambda x: gen_pixels(x, seed)),
+                (upd, lambda x: gen_update_pixels(x, seed)),
+                (ins_ok, lambda x: gen_pixels(x, seed + 7)),
+            )
+        else:
+            branches = (
+                (in_base & ~upd, lambda x: gen_batch(x, seed)),
+                (upd, lambda x: gen_update_batch(x, seed)),
+                (ins_ok, lambda x: gen_batch(x, seed + 7)),
+            )
+        for sel, gen in branches:
             if not sel.any():
                 continue
             act = batch.filter(pa.array(sel))
             exp = gen(nums[sel])
+            exp_pixels = None
+            if isinstance(exp, tuple):
+                exp, exp_pixels = exp
             pairs += act.num_rows
             cap_a = act["caption"].to_pylist()
             cap_e = exp["caption"].to_pylist()
@@ -229,6 +251,25 @@ def verify_merged_map_only(table, *, n: int, seed: int = 42,
             meta_ok &= np.array([x == y for x, y in zip(fmt_a, fmt_e)])
             meta_bad += int((~meta_ok).sum())
             ab = act["bytes"].to_pylist()
+            if exp_pixels is not None:
+                # pixel gate: decode actual, compare to expected pixels
+                for i in np.nonzero(meta_ok)[0]:
+                    try:
+                        da = decode_image(ab[i], fmt_a[i])
+                    except Exception:
+                        pix_bad += 1
+                        continue
+                    pe = exp_pixels[i]
+                    if da.shape != pe.shape:
+                        pix_bad += 1
+                        continue
+                    if (da == pe).all():
+                        continue
+                    p = psnr(da, pe)
+                    min_psnr = min(min_psnr, p)
+                    if fmt_a[i] == "png" or p < PSNR_THRESHOLD_DB:
+                        pix_bad += 1
+                continue
             eb = exp["bytes"].to_pylist()
             for i in np.nonzero(meta_ok)[0]:
                 try:

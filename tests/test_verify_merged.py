@@ -105,3 +105,54 @@ def test_strict_scan_equivalence_decodes_byte_equal_pairs():
     strict = scan_equivalence(ray.data.from_arrow(row),
                               ray.data.from_arrow(row), num_parts=1, strict=True)
     assert not strict["passed"] and strict["pixel_fail"] == 1
+
+
+def test_verify_merged_detects_pixel_corruption(merged_table):
+    # a VALID png whose pixels differ from the expected content must trip the
+    # post-merge PIXEL gate (which compares decoded actual vs gen_pixels)
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocel_ocpn_lakehouse_ray.functions.codec import encode_image
+
+    t2 = merged_table
+    frag = t2.fragments[0]
+    path = os.path.join(t2.root, frag.path)
+    tbl = pq.read_table(path)
+    wrong = encode_image(np.zeros((int(tbl["h"][0].as_py()),
+                                   int(tbl["w"][0].as_py()), 3), np.uint8),
+                         tbl["fmt"][0].as_py())
+    bad = tbl.set_column(
+        tbl.schema.get_field_index("bytes"), "bytes",
+        pa.array([wrong] + tbl["bytes"].to_pylist()[1:], pa.binary()),
+    )
+    pq.write_table(bad, path)
+    try:
+        rep = verify_merged_map_only(t2, n=N, seed=SEED, num_blocks=4)
+        assert not rep["passed"]
+        assert rep["pixel_fail"] == 1
+    finally:
+        pq.write_table(tbl, path)
+
+
+def test_verify_merged_detects_undecodable_bytes(merged_table):
+    import os
+
+    import pyarrow.parquet as pq
+
+    t2 = merged_table
+    frag = t2.fragments[1]
+    path = os.path.join(t2.root, frag.path)
+    tbl = pq.read_table(path)
+    bad = tbl.set_column(
+        tbl.schema.get_field_index("bytes"), "bytes",
+        pa.array([b"\x00garbage"] + tbl["bytes"].to_pylist()[1:], pa.binary()),
+    )
+    pq.write_table(bad, path)
+    try:
+        rep = verify_merged_map_only(t2, n=N, seed=SEED, num_blocks=4)
+        assert not rep["passed"]
+        assert rep["pixel_fail"] == 1
+    finally:
+        pq.write_table(tbl, path)
