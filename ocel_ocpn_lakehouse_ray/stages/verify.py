@@ -169,14 +169,19 @@ def verify_merged_map_only(table, *, n: int, seed: int = 42,
     """STRICT verification with NO shuffle: because the expected table is a
     deterministic function of the row id (sources/generator.py), each batch
     of the actual scan REGENERATES its own expected rows in place and
-    compares — caption exact, meta exact, both sides decoded per row
-    (decoded-pixel allclose, PSNR >= 40 dB for lossy; the literal north_star
-    invariant).  Map-only → scales like the decode kernel, not the shuffle.
+    compares — caption exact, meta exact, pixels per row.  Map-only →
+    scales like the decode kernel, not the shuffle.
 
     ``merged=True`` expects the POST-merge state (unchanged + updated rows +
-    inserts); ``merged=False`` expects the PRE-merge state — the
-    snapshot-isolation check: a reader pinned to a pre-maintenance version
-    must still see exactly the original rows, byte-faithful.
+    inserts) and applies the literal north_star row gate: every surviving
+    row's bytes are DECODED and compared against the regenerated expected
+    pixels (gen_pixels — allclose / bit-exact for png, PSNR >= 40 dB for
+    lossy).  ``merged=False`` expects the PRE-merge state — the
+    snapshot-isolation clause: a reader pinned to a pre-maintenance version
+    must see BYTE-IDENTICAL rows, so the gate is byte equality against the
+    canonical encoding (decode runs only on byte mismatch, to report whether
+    the damage is cosmetic or pixel-level; byte-equal rows are decodable by
+    construction — the codec round-trip is pinned by test_functions).
 
     Completeness without a join: the expected id domain is closed ([0, n) ∪
     inserts), so zero unexpected rows + `pairs == expected_total` + the
@@ -272,13 +277,17 @@ def verify_merged_map_only(table, *, n: int, seed: int = 42,
                 continue
             eb = exp["bytes"].to_pylist()
             for i in np.nonzero(meta_ok)[0]:
+                if ab[i] == eb[i]:
+                    # byte-identical to the canonical encoding — the literal
+                    # snapshot-isolation clause; decodability is implied (the
+                    # canonical encoder round-trips by construction, pinned
+                    # by the codec tests), so decoding here proves nothing
+                    continue
                 try:
                     da = decode_image(ab[i], fmt_a[i])
                 except Exception:
                     pix_bad += 1
                     continue
-                if ab[i] == eb[i]:
-                    continue  # decodability proven; pixels trivially equal
                 try:
                     de = decode_image(eb[i], fmt_e[i])
                 except Exception:
