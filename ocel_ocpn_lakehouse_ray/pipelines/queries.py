@@ -174,7 +174,7 @@ def q_pricing_summary(sf_dir: str):
     """A2/A4/M6: grouped sum/avg/count with a derived column and a filter —
     the reference's grouped aggregations (`ops/materialized_views.py:277-281`,
     `ops/maintenance_system.py:346`) over lineitem."""
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -186,16 +186,23 @@ def q_pricing_summary(sf_dir: str):
     # sum in INTEGER cents (deterministic in any order) and divide once at the
     # end — bit-identical on both sides of the driver's value hash.
     def prep(b: pa.Table) -> pa.Table:
+        # filter + derive + PARTIAL grouped sums inside the batch (integer
+        # sums are order-independent, so partials re-sum exactly): the
+        # exchange moves <= 6 rows per block, not one per lineitem
         b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
         i64 = pa.int64()
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table({
+        t = pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
             "qty_i": pc.cast(pc.round(b["l_quantity"]), i64),
             "base_c": pc.cast(pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))), i64),
             "disc_c4": pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), i64),
         })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_i", "sum"), ("base_c", "sum"), ("disc_c4", "sum"), ([], "count_all")]
+        ).rename_columns(["l_returnflag", "l_linestatus",
+                          "qty_i", "base_c", "disc_c4", "n"])
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -204,7 +211,7 @@ def q_pricing_summary(sf_dir: str):
             Sum("qty_i", alias_name="sum_qty_i"),
             Sum("base_c", alias_name="base_c"),
             Sum("disc_c4", alias_name="disc_c4"),
-            Count(alias_name="count_order"),
+            Sum("n", alias_name="count_order"),
         )
     )
 
