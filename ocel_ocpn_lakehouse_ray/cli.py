@@ -95,6 +95,9 @@ def main(argv=None):
     ap.add_argument("--max-age-days", type=float, default=None)
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--version", type=int, default=None)
+    ap.add_argument("--as-of", type=float, default=None, dest="as_of",
+                    help="pin the snapshot current at this unix time "
+                         "(FOR TIMESTAMP AS OF; alternative to --version)")
     ap.add_argument("--branch", default=None,
                     help="stage this job's commits on a branch (WAP: "
                          "branch -> run jobs --branch -> verify -> publish)")
@@ -167,7 +170,7 @@ def main(argv=None):
     elif args.command == "export":
         from .stages.export import DEFAULT_SHARD_BYTES, run_export
 
-        t = LakeTable.load(args.root, version=args.version)
+        t = LakeTable.load(args.root, version=args.version, as_of=args.as_of)
         out = run_export(t, args.out_dir or args.root + "_shards",
                          job_id=args.job_id, from_version=args.from_version,
                          shard_bytes=args.shard_bytes or DEFAULT_SHARD_BYTES)
@@ -196,7 +199,7 @@ def main(argv=None):
         out = curate_corpus(args.sf_dir,
                             args.out_dir or args.root + "_curated")
     elif args.command == "tag":
-        t = LakeTable.load(args.root, version=args.version)
+        t = LakeTable.load(args.root, version=args.version, as_of=args.as_of)
         out = {"tags": t.tag(args.name), "version": t.version}
     elif args.command == "untag":
         from .state import manifest as _mf
@@ -207,7 +210,7 @@ def main(argv=None):
 
         out = {"tags": _mf.read_tags(args.root)}
     elif args.command == "branch":
-        t = LakeTable.load(args.root, version=args.version)
+        t = LakeTable.load(args.root, version=args.version, as_of=args.as_of)
         b = t.create_branch(args.name)
         out = {"branch": args.name, "fork_of_main_version": t.version,
                "branch_version": b.version}
@@ -264,7 +267,7 @@ def main(argv=None):
 
         from .stages.multimodal import decode_stats_pipeline
 
-        t = LakeTable.load(args.root, version=args.version)
+        t = LakeTable.load(args.root, version=args.version, as_of=args.as_of)
         cpus = int(ray.cluster_resources().get("CPU", 8))
         t0 = _time.time()
         n = decode_stats_pipeline(t, batch_size=128, num_blocks=cpus * 3).count()
@@ -322,7 +325,7 @@ def main(argv=None):
         from .sources.generator import gen_batch
         from .stages.verify import scan_equivalence
 
-        t = LakeTable.load(args.root, version=args.version)
+        t = LakeTable.load(args.root, version=args.version, as_of=args.as_of)
         expected = ray.data.from_arrow(gen_batch(np.arange(args.rows), args.seed))
         out = scan_equivalence(t.to_dataset(), expected)
     elif args.command in ("verify-merged", "verify-snapshot"):

@@ -103,3 +103,24 @@ def test_cli_dml_timetravel_export(tmp_path, capsys):
     assert tags["tags"] == {"base": 1}
     run_cli(capsys, "untag", "--root", root, "--name", "base")
     assert run_cli(capsys, "tags", "--root", root)["tags"] == {}
+
+
+def test_cli_as_of_timestamp_pin(tmp_path, capsys):
+    import time
+
+    from ocel_ocpn_lakehouse_ray.table import LakeTable
+
+    root = str(tmp_path / "t3")
+    run_cli(capsys, "create", "--root", root, "--rows", "100")
+    mark = time.time()
+    time.sleep(0.05)
+    t = LakeTable.load(root)
+    import numpy as np
+
+    from ocel_ocpn_lakehouse_ray.sources.generator import gen_batch
+
+    t.append_arrow(gen_batch(np.arange(10**6, 10**6 + 20), 42))
+    # tag resolves the version pinned by --as-of (v1, pre-append)
+    out = run_cli(capsys, "tag", "--root", root, "--name", "pre",
+                  "--as-of", str(mark))
+    assert out["version"] == 1
