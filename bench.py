@@ -203,7 +203,7 @@ def run_bench(num_cpus: int, sf_dir: str, *, maintenance_only: bool = False,
         t_c = time.time()
         t, rep_z = run_clustering(t, order="zorder", job_id="bench-cluster")
         t_z = time.time()
-        src = merge_source_dataset(n, num_blocks=max(4, n // 500))
+        src = merge_source_dataset(n)
         t, rep_m = run_merge(t, src, job_id="bench-merge")
         t_m = time.time()
         # post-maintenance STRICT verification: every surviving row is

@@ -132,7 +132,7 @@ def main(argv=None):
 
         t = _load_wb()
         n = args.source_rows or t.manifest.total_rows
-        src = merge_source_dataset(n, seed=args.seed, num_blocks=max(4, n // 500))
+        src = merge_source_dataset(n, seed=args.seed)
         _, out = run_merge(t, src, job_id=args.job_id)
     elif args.command == "expire":
         from .stages.gc import expire_and_gc

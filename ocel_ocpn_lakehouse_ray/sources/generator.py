@@ -203,8 +203,18 @@ def synth_images_dataset(n: int, seed: int = 42, num_blocks: int | None = None):
 
 def merge_source_dataset(n: int, seed: int = 42, num_blocks: int | None = None):
     """F2 delta dataset: ~5 % updates of [0, n) + ~5 % fresh inserts
-    (``img_9...`` ids, FIXTURES.md F2)."""
+    (``img_9...`` ids, FIXTURES.md F2).
+
+    Default block count scans ~2000 ids (~100 update rows) per task, capped
+    at 4x cluster CPUs: the old n//500 caller default made 50-id tasks whose
+    scheduling overhead dominated the generate work (measured 4.3 s vs 1.6 s
+    for the same 80 k-id source at 16 CPUs)."""
+    import ray
     import ray.data
+
+    if num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_blocks = max(4, min(n // 2000, 4 * cpus))
 
     def updates(b):
         ids = b["id"]
