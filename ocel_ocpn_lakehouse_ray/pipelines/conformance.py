@@ -89,17 +89,50 @@ def q_conformance(sf_dir: str):
     # event-type² (tiny at any corpus scale), so instead of an AllToAll
     # groupby we count per block and fold the <= |types|²-row partials on
     # the driver — one exchange fewer (measured 2.3 s -> 1.7 s query total).
+    # The fold is budget-guarded: the driver holds at most
+    # GRAFT_CONF_FOLD_BUDGET partial rows (bound = blocks × |types|²); past
+    # that it falls back to a distributed groupby-sum, so the shape is
+    # scale-proof by construction, not by assumption.
     def dfg_part(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({"src": b["src"].to_pylist(), "dst": b["dst"].to_pylist()})
         out = df.groupby(["src", "dst"], sort=False).size().reset_index(name="c")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    parts = pd.concat([
-        b.to_pandas()
-        for b in te.map_batches(dfg_part, batch_format="pyarrow")
-                   .iter_batches(batch_format="pyarrow")
-    ])
-    dfg = parts.groupby(["src", "dst"])["c"].sum().reset_index()
+    import os as _os
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    budget = int(_os.environ.get("GRAFT_CONF_FOLD_BUDGET", 2_000_000))
+    part_frames: list[pd.DataFrame] = []
+    part_rows = 0
+    for b in te.map_batches(dfg_part, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        part_frames.append(b.to_pandas())
+        part_rows += b.num_rows
+        if part_rows > budget:
+            break
+    if part_rows > budget:
+        dfg = (te.map_batches(dfg_part, batch_format="pyarrow")
+                 .groupby(["src", "dst"])
+                 .aggregate(Sum("c", alias_name="c"))).to_pandas()
+    elif part_rows == 0:
+        # empty events table: no edges, no model — empty typed report.
+        # te.schema() is None on an empty dataset, so pull user_id's type
+        # from the source parquet footer (metadata-only read).  Returned as
+        # a pyarrow Table (registry contract allows it): Ray's to_pandas()
+        # on an empty Dataset drops the columns, a typed Table keeps them.
+        import pyarrow.parquet as _pq_mod
+
+        from .queries import _pq
+
+        uid_t = _pq_mod.read_schema(_pq(sf_dir, "events")).field("user_id").type
+        empty = pa.schema([("user_id", uid_t), ("fitness", pa.float64()),
+                           ("prec", pa.float64()), ("score", pa.float64())])
+        return empty.empty_table()
+    else:
+        dfg = pd.concat(part_frames).groupby(["src", "dst"])["c"].sum().reset_index()
     thresh = float(np.median(dfg["c"].to_numpy()))
     model = {
         (r.src, r.dst)

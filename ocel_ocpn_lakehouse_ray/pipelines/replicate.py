@@ -116,10 +116,19 @@ def replicate(src_root: str, dst_root: str) -> dict:
             append_only = False  # source expired the old manifest: mirror
 
     remove_ids = set() if append_only else dst_ids - src_ids
+    # schema/config ride along from the SOURCE manifest so schema evolution
+    # (new columns + the schema_evolved config flag, stages/evolution.py)
+    # propagates: a follower committing with its own stale schema would ship
+    # evolved fragments whose new columns every follower scan then drops.
+    # Append-only syncs carry it too — an append after an evolution is still
+    # append_only in diff() terms, and fragments are content-addressed so
+    # adopting the source schema is always scan-consistent.
     dst = dst.commit(
         operation="replicate",
         add=to_ship,
         remove_ids=remove_ids,
+        schema=src.manifest.schema,
+        config=src.manifest.config,
         summary={"replicated_from_version": src.version,
                  "src_root": src_root,
                  "mode": "append" if append_only else "mirror",

@@ -188,16 +188,49 @@ def search_ivf_index(index_dir: str, q_ids: np.ndarray, q_mat: np.ndarray,
     return top, stats
 
 
-def q_ann_ivf_persisted(sf_dir: str):
-    """Registry entry: build-once (cached per sf_dir under /tmp) persisted
-    IVF index, then index-accelerated top-K for the first N_QUERIES vectors
-    — same output contract as q_knn_bruteforce, recall asserted in tests."""
+def _corpus_fingerprint(sf_dir: str) -> tuple[str, int]:
+    """Content identity of the embeddings corpus: (tag, total_rows).  The
+    tag folds each parquet file's path, size and mtime; rows come from
+    parquet FOOTER metadata only (no data read).  Keying the /tmp index
+    cache by this (not just the sf_dir path) means regenerated fixture
+    data at the same path triggers a rebuild instead of silently serving
+    neighbors from the stale corpus."""
+    import glob
     import hashlib
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                             recursive=True)) if os.path.isdir(path) else [path]
+    h = hashlib.md5()
+    rows = 0
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
+        rows += pq.ParquetFile(f).metadata.num_rows
+    return h.hexdigest()[:12], rows
+
+
+def q_ann_ivf_persisted(sf_dir: str):
+    """Registry entry: build-once (cached per corpus CONTENT under /tmp)
+    persisted IVF index, then index-accelerated top-K for the first
+    N_QUERIES vectors — same output contract as q_knn_bruteforce, recall
+    asserted in tests."""
+    import shutil
     import pyarrow.compute as pc
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tag, corpus_rows = _corpus_fingerprint(sf_dir)
     index_dir = f"/tmp/graft_ivf_{tag}"
-    if not os.path.exists(os.path.join(index_dir, "_INDEX.json")):
+    mpath = os.path.join(index_dir, "_INDEX.json")
+    if os.path.exists(mpath):
+        # belt-and-braces: a size/mtime-preserving rewrite still can't serve
+        # a row-count-divergent index (build resume skips existing lists,
+        # so a stale dir must be cleared, not rebuilt over)
+        with open(mpath) as f:
+            if json.load(f).get("rows") != corpus_rows:
+                shutil.rmtree(index_dir)
+    if not os.path.exists(mpath):
+        # dir may hold a partial build — same fingerprint = same corpus, so
+        # build_ivf_index's resume (skip existing lists) is safe here
         build_ivf_index(sf_dir, index_dir)
     q_src = _read_wide(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
         .map_batches(

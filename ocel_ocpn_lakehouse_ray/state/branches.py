@@ -112,6 +112,8 @@ def create_branch(root: str, name: str, *, from_version: int | None = None,
     """Fork a branch at a main-chain snapshot (default: current latest).
     The fork point is branch manifest v0 — a copy of the main manifest with
     the fork recorded in its summary."""
+    import uuid
+
     src = mf.load_manifest(root, from_version)
     bdir = branch_dir(root, name)
     if os.path.isdir(bdir):
@@ -127,7 +129,12 @@ def create_branch(root: str, name: str, *, from_version: int | None = None,
         schema=src.schema,
         config=src.config,
         fragments=list(src.fragments),
-        summary={"fork_of_main_version": src.version, "branch": name},
+        # fork_uuid disambiguates re-created branches under a reused name:
+        # publish_branch's idempotency scan matches on it, so "fork, commit,
+        # publish" cycles that repeat (same name, same head version) are
+        # never mistaken for a crash-retry of an earlier publish.
+        summary={"fork_of_main_version": src.version, "branch": name,
+                 "fork_uuid": uuid.uuid4().hex},
     )
     with open(_bmanifest_path(root, name, 0), "x") as f:
         f.write(fork.to_json())
@@ -232,11 +239,20 @@ def publish_branch(root: str, name: str, *, delete: bool = True) -> mf.Manifest:
     # deleting the branch must not raise (or double-apply) on retry.  The
     # publish commit itself is the discriminator — fragment-set heuristics
     # can't tell "already applied" from "main rewrote the same fragments".
+    # Match on the fork's uuid (stamped at create_branch) so a branch
+    # RE-CREATED under a reused name with the same head version is never
+    # treated as already-applied; for pre-uuid forks fall back to comparing
+    # the fork point, which always advances after a publish.
+    fork_uuid = fork.summary.get("fork_uuid")
+    fork_of = fork.summary.get("fork_of_main_version")
     for v in reversed(mf.list_manifest_versions(root)):
         m = mf.load_manifest(root, v)
         if (m.operation == "publish_branch"
                 and m.summary.get("branch") == name
-                and m.summary.get("branch_head") == head.version):
+                and m.summary.get("branch_head") == head.version
+                and m.summary.get("fork_of_main_version") == fork_of
+                and (fork_uuid is None
+                     or m.summary.get("fork_uuid") == fork_uuid)):
             if delete:
                 delete_branch(root, name)
             return current
@@ -259,6 +275,7 @@ def publish_branch(root: str, name: str, *, delete: bool = True) -> mf.Manifest:
         config=head.config,
         summary={"branch": name,
                  "fork_of_main_version": fork.summary.get("fork_of_main_version"),
+                 "fork_uuid": fork.summary.get("fork_uuid"),
                  "branch_head": head.version,
                  "added_fragments": len(added),
                  "removed_fragments": len(removed)},

@@ -264,7 +264,13 @@ class LakeTable:
         return pa.concat_tables(parts).combine_chunks()
 
     # ------------------------------------------------------------ write paths
-    def commit(self, *, operation: str, add: list, remove_ids: set, summary: dict | None = None) -> "LakeTable":
+    def commit(self, *, operation: str, add: list, remove_ids: set,
+               summary: dict | None = None,
+               schema: list | None = None,
+               config: dict | None = None) -> "LakeTable":
+        """Commit a fragment-set change.  ``schema``/``config`` default to
+        this table's current values; replication's mirror mode overrides
+        them so source schema evolution propagates to followers."""
         if self.branch is not None:
             from .state import branches as br
 
@@ -274,8 +280,8 @@ class LakeTable:
                 operation=operation,
                 add=add,
                 remove_ids=remove_ids,
-                schema=self.manifest.schema,
-                config=self.manifest.config,
+                schema=schema if schema is not None else self.manifest.schema,
+                config=config if config is not None else self.manifest.config,
                 summary=summary,
             )
             return LakeTable(self.root, new, branch=self.branch)
@@ -285,8 +291,8 @@ class LakeTable:
             operation=operation,
             add=add,
             remove_ids=remove_ids,
-            schema=self.manifest.schema,
-            config=self.manifest.config,
+            schema=schema if schema is not None else self.manifest.schema,
+            config=config if config is not None else self.manifest.config,
             summary=summary,
         )
         return LakeTable(self.root, new)
