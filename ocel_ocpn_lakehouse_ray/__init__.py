@@ -42,6 +42,7 @@ __all__ = [
     "check_constraints",
     "write_audit_publish",
     "replicate",
+    "Catalog",
 ]
 
 # name → "module:attr" for the lazy public surface
@@ -73,6 +74,7 @@ _LAZY = {
     "check_constraints": ".stages.constraints:check_constraints",
     "write_audit_publish": ".pipelines.wap:write_audit_publish",
     "replicate": ".pipelines.replicate:replicate",
+    "Catalog": ".catalog:Catalog",
 }
 
 

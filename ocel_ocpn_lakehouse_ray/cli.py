@@ -72,7 +72,7 @@ def main(argv=None):
                                         "tag", "untag", "tags", "curate",
                                         "ingest", "branch", "branches",
                                         "branch-delete", "publish",
-                                        "replicate"])
+                                        "replicate", "tables", "catalog-gc"])
     ap.add_argument("--name", default=None)
     ap.add_argument("--from-version", type=int, default=None)
     ap.add_argument("--out-dir", default=None)
@@ -229,6 +229,20 @@ def main(argv=None):
         t = LakeTable.load(args.root).publish_branch(args.name)
         out = dict(t.manifest.summary)
         out["version"] = t.version
+    elif args.command == "tables":
+        # --root = warehouse directory holding catalog.json
+        from .catalog import Catalog
+
+        cat = Catalog.load(args.root)
+        out = {"warehouse": args.root,
+               "namespaces": cat.namespaces(),
+               "tables": [r for b in cat.tables_dataset().iter_batches(
+                   batch_format="pyarrow") for r in b.to_pylist()]}
+    elif args.command == "catalog-gc":
+        from .catalog import Catalog
+
+        out = Catalog.load(args.root).gc_all(
+            keep_last=args.keep_last, max_age_days=args.max_age_days)
     elif args.command == "replicate":
         from .pipelines.replicate import replicate
 

@@ -82,6 +82,9 @@ class LakeTable:
         """Bootstrap (reference S10, `ingest/production_bootstrap.py:570-595`):
         manifest v0 with an empty fragment list."""
         config = config or TableConfig()
+        # fail fast at DDL time: every column type must round-trip through
+        # the manifest's type strings, or loads would fail later instead
+        meta_to_schema(schema_to_meta(schema))
         mf.init_table_dirs(root)
         m = mf.Manifest(
             version=0,
