@@ -12,8 +12,31 @@ from __future__ import annotations
 
 import re
 
-# ordered: first match wins (reference `nl_query_agent.py:41-121`)
+# ordered: first match wins (reference `nl_query_agent.py:41-121`).
+# Layout: SPECIFIC multi-word intents first — each contains words a broader
+# pattern below would otherwise steal (e.g. "refresh the dfg view" must
+# route to the MV refresh, not to direct_follows) — then the broad
+# vocabulary, then the long tail that completes registry coverage
+# (tests/test_nl_matrix.py asserts every queries() entry is reachable).
 _INTENT_PATTERNS: list[tuple[str, str]] = [
+    (r"\brefresh\b.*\b(dfg|direct.?follows)\b", "mv_refresh_dfg"),
+    (r"\brefresh\b.*\bvariants?\b|\bmateriali[sz]ed\s+views?\b",
+     "mv_refresh_variants"),
+    (r"\b(approx\w*|sketch\w*)\b.*\b(percentiles?|quantiles?)\b|\bt.?digest\b",
+     "percentiles_sketch"),
+    (r"\bexact\b.*\bembedding\b.*\bdedup\w*\b", "embedding_dedup_exact"),
+    (r"\blanguage\s+id\w*\b|\bidentify\b.*\blanguage\b|\blang.?id\b",
+     "lang_id"),
+    (r"\bmerge\b.*\bdocuments?\b", "merge_documents"),
+    (r"\bimages?\b.*\b(knn|nearest)\b|\bnearest\b.*\bimages?\b", "image_knn"),
+    (r"\b(ann|approximate\s+nearest)\b.*\blsh\b|\blsh\b.*\bann\b", "ann_lsh"),
+    (r"\b(persisted|saved|prebuilt)\b.*\bivf\b|\bivf\s+index\b",
+     "ann_ivf_persisted"),
+    (r"\bivf\b", "ann_ivf"),
+    (r"\bhilbert\b", "maint_cluster_hilbert"),
+    (r"\btop\s+orders?\b|\borders?\s+per\s+customer\b",
+     "top_orders_per_customer"),
+    (r"\bstratified\b", "stratified_sample"),
     (r"\b(revenue|sales)\b.*\bnation", "revenue_by_nation"),
     (r"\btop\b.*\bcustomers?\b", "top_customers"),
     (r"\b(orders?)\b.*\bsegment", "orders_by_segment"),
@@ -59,6 +82,38 @@ _INTENT_PATTERNS: list[tuple[str, str]] = [
     (r"\bmerge\b|\bupsert\b", "maint_merge"),
     (r"\bexpire\b|\bgarbage|\bgc\b", "maint_expire_gc"),
     (r"\bdelete\b|\bremove\s+rows?\b", "maint_delete"),
+    # ---- long tail: completes coverage of the queries() registry ----
+    (r"\bfilter\b.*\bproject\b|\bprojections?\b", "filter_project"),
+    (r"\bevent\s+type\s+stats?\b|\b(min|max)\b.*\bevent\s+type\b",
+     "event_type_stats"),
+    (r"\bsequence\s+numbers?\b|\bnumber\s+events?\s+in\s+order\b",
+     "sequence_numbers"),
+    (r"\bisin\b|\bin\s+a\s+list\b|\bmembership\b", "isin_filter"),
+    (r"\bco.?occurr?\w*\b", "cooccurrence"),
+    (r"\bsemi.?join\b", "semi_join"),
+    (r"\banti.?join\b", "anti_join"),
+    (r"\bhaving\b", "having"),
+    (r"\bcase\s+when\b|\bconditional\s+column\b", "case_when"),
+    (r"\bunion\b", "union_all"),
+    (r"\bstring\s+functions?\b|\buppercase\b|\bsubstrings?\b", "string_funcs"),
+    (r"\bjson\b", "json_extract"),
+    (r"\bbetween\b", "between"),
+    (r"\bsuppliers?\b", "supplier_nation"),
+    (r"\bbrands?\b", "part_brand_stats"),
+    (r"\bthresholds?\b", "threshold_cut"),
+    (r"\bpnml\b", "pnml_arcs"),
+    (r"\bschemas?\b|\bevolv\w+\b|\badd\s+a?\s*columns?\b",
+     "maint_evolve_schema"),
+    (r"\bupdate\b", "maint_update"),
+    (r"\brolling\b|\btrailing\b|\bmoving\s+average\b", "rolling_daily"),
+    (r"\bmedian\b|\bp50\b", "value_p50_by_type"),
+    (r"\bcurat\w+\b|\bcorpus\b", "curate_corpus"),
+    (r"\bfunnels?\b", "funnel"),
+    (r"\bcohorts?\b|\bretention\b", "cohort_retention"),
+    (r"\bpivot\b|\bday\s+of\s+week\b|\bweekdays?\b", "pivot_dow"),
+    (r"\bgrouping\s+sets?\b|\brollup\b|\bcube\b", "grouping_sets"),
+    (r"\bdeltas?\b|\bvalue\s+changes?\b", "value_delta"),
+    (r"\bvalue\s+counts?\b|\bhistograms?\b|\bbreakdown\b", "value_counts"),
 ]
 
 FALLBACK_INTENT = "value_counts"  # reference falls back to a summary query

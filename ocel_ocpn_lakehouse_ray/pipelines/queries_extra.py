@@ -509,6 +509,10 @@ def q_rolling_daily(sf_dir: str, window: int = 7):
 
     agg = (ds.map_batches(bucket, batch_format="pyarrow")
            .groupby("event_date").aggregate(Count(alias_name="n"))
+           # driver pull BOUND: one row per calendar day — 100 TB of events
+           # still yields only O(10^4) days (27 years of daily rows ≈ 10k);
+           # the trailing-window pass is sequential by definition, so the
+           # bounded table is the correct driver-side finish
            .to_pandas().sort_values("event_date").reset_index(drop=True))
     agg["n_7d"] = agg["n"].rolling(window, min_periods=1).sum().astype("int64")
     return agg
@@ -565,6 +569,9 @@ def q_value_p50_by_type(sf_dir: str):
     from .queries import _read as rd
 
     ds = rd(sf_dir, "events", columns=["event_type", "value"])
+    # driver pull BOUND: one row per (event_type, distinct value) — values
+    # are 2-decimal money in [0, 1000), so <= |types| x 10^5 rows whatever
+    # the corpus size; the exchange above already reduced the table to it
     hist = (ds.groupby(["event_type", "value"]).count()
             .to_pandas().sort_values(["event_type", "value"]))
     out_t, out_p = [], []
