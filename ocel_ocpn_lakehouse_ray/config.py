@@ -54,14 +54,14 @@ class TableConfig:
     # MERGE physical plan: "shuffle" (default) = hash co-group of touched
     # fragments + source (stages/merge.py); "cow" = copy-on-write
     # per-fragment rewrite, only source rows shuffle (stages/merge_cow.py —
-    # fewer bytes through the exchange, but its extra Dataset ops (route +
-    # matched-key anti-join + insert groupby) cost more than the saved copy
-    # at bench scale once payload columns stopped being recompressed
-    # (fragments.column_compression): measured shuffle 3.1s vs cow 6.8s for
-    # the exchange at 16 CPUs.  cow remains the right shape when the touched
-    # set is huge and the exchange fabric (not per-op latency) is the
-    # bottleneck.  Env GRAFT_MERGE wins.
-    merge_strategy: str = "shuffle"
+    # half the bytes through storage).  Round 5 removed cow's fixed
+    # Dataset-op costs (ONE source read feeds fragment rewrites AND salted
+    # insert partitions through a single fs exchange; no Dataset groupby),
+    # after which cow measures faster at BOTH the 20k bench tier (1.79s vs
+    # 1.91s total) and the 160k scaling tier (10.0s vs 19.0s, 16 CPUs) —
+    # "auto" now picks by pure byte math (3*src < 2*touched).  Env
+    # GRAFT_MERGE wins.
+    merge_strategy: str = "auto"
     retention_keep_last: int = 10        # manifests kept by snapshot expiry (>=1)
     retention_max_age_days: float = SNAPSHOT_OLD_DAYS
     skew_alarm_ratio: float = SKEW_ALARM_RATIO

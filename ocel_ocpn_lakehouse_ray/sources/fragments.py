@@ -155,7 +155,9 @@ def write_table_as_fragments(
     out = []
     seq = 0
     for start in range(0, tbl.num_rows, rows_per):
-        piece = tbl.slice(start, rows_per).combine_chunks()
+        # slice is zero-copy; do NOT combine_chunks — the parquet writer
+        # handles chunked tables, and combining memcpys the whole payload
+        piece = tbl.slice(start, rows_per)
         if name_parts is not None:
             name = fragment_file_name(*[str(p) for p in name_parts], str(seq))
         else:

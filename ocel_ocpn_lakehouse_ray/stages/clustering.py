@@ -90,7 +90,8 @@ def sample_boundaries(table, order: str, num_parts: int, sample_frac: float = No
 
         out = []
         for p in paths:
-            t = pq.read_table(p, columns=["phash", "w", "h", "image_id"])
+            t = pq.read_table(p, columns=["phash", "w", "h", "image_id"],
+                              use_threads=False)
             if frc < 1.0 and t.num_rows > 1:
                 rng = np.random.default_rng(
                     42 ^ zlib.crc32(os.path.basename(p).encode()))

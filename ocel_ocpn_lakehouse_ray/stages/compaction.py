@@ -96,8 +96,12 @@ def _compact_bin(batch: pa.Table, *, root: str, job_id: str, target_bytes: int,
         if failpoint is not None and int(bin_id.split("-")[1]) >= failpoint:
             raise RuntimeError(f"failpoint: simulated crash at {bin_id}")
         paths = json.loads(row["paths"])
-        tables = [pq.read_table(os.path.join(root, p)) for p in paths]
-        merged = pa.concat_tables(tables).combine_chunks()
+        # single-threaded reads: one bin task per CPU; arrow's default
+        # 8-thread IO pool across 16 concurrent tasks thrashes the bus
+        tables = [pq.read_table(os.path.join(root, p), use_threads=False,
+                            memory_map=True)
+                  for p in paths]
+        merged = pa.concat_tables(tables)  # zero-copy chunk-list concat
         metas = write_table_as_fragments(
             root, merged, target_bytes=target_bytes, name_parts=(job_id, bin_id),
         )

@@ -109,7 +109,8 @@ def _delete_in_fragment(batch: pa.Table, *, root: str, job_id: str,
             raise RuntimeError(f"failpoint fragment {row['idx']}")
         if lineage.load_record(root, job_id, fid) is not None:
             continue  # resumed: already journaled
-        tbl = pq.read_table(os.path.join(root, row["path"]))
+        tbl = pq.read_table(os.path.join(root, row["path"]),
+                            use_threads=False)
         mask = _match_expr(tbl, predicates)
         deleted = int(pc.sum(mask).as_py() or 0)
         if deleted == 0:  # stats over-approximated; keep the original file

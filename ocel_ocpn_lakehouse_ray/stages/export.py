@@ -94,7 +94,8 @@ def run_export(table, out_dir: str, *, job_id: str | None = None,
         name = f"shard-{idx:05d}.parquet"
         final = os.path.join(out_dir, name)
         tbl = pa.concat_tables(
-            [pq.read_table(p, columns=columns) for p in paths]
+            [pq.read_table(p, columns=columns, use_threads=False)
+             for p in paths]
         ).combine_chunks()
         tmp = final + f".tmp.{os.getpid()}"
         pq.write_table(tbl, tmp, compression=column_compression(tbl.schema))

@@ -70,15 +70,11 @@ def write_partials(batch: pa.Table, *, part_col: str, work_dir: str) -> pa.Table
                      "rg": pa.array(out_rg, pa.int32())})
 
 
-def fs_shuffle_groups(ds, *, part_col: str, work_dir: str, reduce_fn,
-                      fn_kwargs: dict | None = None,
-                      num_cpus_per_reduce: float = 1.0):
-    """Run ``reduce_fn(group: pa.Table, **fn_kwargs) -> pa.Table`` once per
-    partition of ``ds`` (partition ids in ``part_col``), shuffling through
-    ``work_dir`` instead of the object store.  Returns the list of reduce
-    outputs (Arrow tables) — callers aggregate tiny metadata results."""
-    import ray
-
+def fs_shuffle_map(ds, *, part_col: str, work_dir: str) -> dict:
+    """Map side alone: partition ``ds`` into ``work_dir`` partials and return
+    the manifest {part: [(path, row_group), ...]} — for callers that fan
+    different reduce functions over different partition subsets (cow merge
+    routes fragments and the insert partition through ONE exchange)."""
     os.makedirs(work_dir, exist_ok=True)
     manifest: dict[int, list[tuple[str, int]]] = {}
     map_ds = ds.map_batches(
@@ -89,23 +85,54 @@ def fs_shuffle_groups(ds, *, part_col: str, work_dir: str, reduce_fn,
         for p, f, rg in zip(b["part"].to_pylist(), b["path"].to_pylist(),
                             b["rg"].to_pylist()):
             manifest.setdefault(p, []).append((f, rg))
+    return manifest
+
+
+def read_partition(pieces: list[tuple[str, int]]) -> pa.Table:
+    """Assemble one partition from its manifest pieces (single-threaded:
+    callers run one task per CPU)."""
+    by_file: dict[str, list[int]] = {}
+    for f, rg in pieces:
+        by_file.setdefault(f, []).append(rg)
+    tables = []
+    for f, rgs in by_file.items():
+        pf = pq.ParquetFile(f)
+        tables.append(pf.read_row_groups(sorted(rgs), use_threads=False))
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def fs_reduce(manifest: dict, reduce_fn, fn_kwargs: dict | None = None,
+              num_cpus_per_reduce: float = 1.0):
+    """Fan one Ray task per manifest partition; returns reduce outputs."""
+    import ray
 
     fn_kwargs = fn_kwargs or {}
 
     @ray.remote(num_cpus=num_cpus_per_reduce)
     def reduce_task(part: int, pieces: list[tuple[str, int]]):
-        tables = []
-        by_file: dict[str, list[int]] = {}
-        for f, rg in pieces:
-            by_file.setdefault(f, []).append(rg)
-        for f, rgs in by_file.items():
-            pf = pq.ParquetFile(f)
-            tables.append(pf.read_row_groups(sorted(rgs)))
-        group = pa.concat_tables(tables).combine_chunks()
-        return reduce_fn(group, **fn_kwargs)
+        # one task = one CPU: arrow's default 8-thread IO pool makes 16
+        # concurrent reduce tasks run 128 reader threads that thrash the
+        # (shared) memory bus — measured 4-5x slower per read than
+        # single-threaded (BASELINE.md round-5 oversubscription note)
+        if pa.io_thread_count() > 1:
+            pa.set_io_thread_count(1)
+        return reduce_fn(read_partition(pieces), **fn_kwargs)
 
-    refs = [reduce_task.remote(p, pieces) for p, pieces in sorted(manifest.items())]
+    refs = [reduce_task.remote(p, pieces)
+            for p, pieces in sorted(manifest.items())]
     return ray.get(refs)
+
+
+def fs_shuffle_groups(ds, *, part_col: str, work_dir: str, reduce_fn,
+                      fn_kwargs: dict | None = None,
+                      num_cpus_per_reduce: float = 1.0):
+    """Run ``reduce_fn(group: pa.Table, **fn_kwargs) -> pa.Table`` once per
+    partition of ``ds`` (partition ids in ``part_col``), shuffling through
+    ``work_dir`` instead of the object store.  Returns the list of reduce
+    outputs (Arrow tables) — callers aggregate tiny metadata results."""
+    manifest = fs_shuffle_map(ds, part_col=part_col, work_dir=work_dir)
+    return fs_reduce(manifest, reduce_fn, fn_kwargs,
+                     num_cpus_per_reduce=num_cpus_per_reduce)
 
 
 def cleanup(work_dir: str) -> None:

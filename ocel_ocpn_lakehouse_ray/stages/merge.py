@@ -230,6 +230,7 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
     job_id = job_id or f"merge-{chain}v{table.version}"
     t0 = time.time()
     ph = {}  # per-phase seconds (stage_source / plan / shuffle / commit)
+    subph = {}  # cow sub-phases (inside 'shuffle'); reported separately
 
     # STAGE THE SOURCE: run the source pipeline exactly once, writing it as
     # parquet (tagged __side=1) into the job's journal area.  Both sides then
@@ -332,14 +333,16 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
         # NEVER flips plans over a half-written journal): copy-on-write moves
         # ~2T + 3s bytes through storage vs the hash co-group's ~4T
         # (stages/merge_cow.py module docstring), so cow wins when
-        # 3*src < 2*touched — but only above a byte floor, because cow's
-        # extra Dataset ops cost ~1-2 s of fixed latency that dominates
-        # small merges (measured round 3; GRAFT_AUTO_COW_MIN_BYTES).
+        # 3*src < 2*touched.  Round 5 removed cow's fixed Dataset-op costs
+        # (single source read, salted insert partitions through the same
+        # exchange, no Dataset groupby), so the round-3 byte floor that
+        # protected small merges now defaults to 0 — pure byte math decides
+        # (GRAFT_AUTO_COW_MIN_BYTES still overrides; A/B at 20k AND 160k
+        # tiers: cow wins both).
         chosen = meta.get("plan")
         if chosen is None:
             src_bytes = sum(os.path.getsize(p) for p in src_files)
-            floor = int(os.environ.get("GRAFT_AUTO_COW_MIN_BYTES",
-                                       str(2 << 30)))
+            floor = int(os.environ.get("GRAFT_AUTO_COW_MIN_BYTES", "0"))
             touched_b = sum(f.bytes for f in touched)
             chosen = ("cow" if touched_b >= floor
                       and 3 * src_bytes < 2 * touched_b else "shuffle")
@@ -355,7 +358,7 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
 
         cow_merge(table, src_files, touched, job_id=job_id,
                   target_bytes=cfg.target_fragment_bytes, failpoint=failpoint,
-                  delete_col=delete_col)
+                  delete_col=delete_col, phases=subph)
     elif strategy == "fs":
         # storage-partitioned shuffle (see stages/fs_shuffle.py and the same
         # block in clustering.py); completed partitions short-circuit via
@@ -406,5 +409,5 @@ def run_merge(table, source_ds, *, job_id: str | None = None,
     ph["commit"] = round(time.time() - t0 - sum(ph.values()), 3)
     report = dict(new_table.manifest.summary)
     report["rows_per_sec"] = round(rows / elapsed, 1) if elapsed > 0 else None
-    report["phase_seconds"] = ph
+    report["phase_seconds"] = {**ph, **subph}
     return new_table, report

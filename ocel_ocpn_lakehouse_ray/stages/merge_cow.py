@@ -64,6 +64,10 @@ def _matched_dir(root: str, job_id: str) -> str:
     return os.path.join(lineage.journal_dir(root, job_id), "matched")
 
 
+def _leftover_dir(root: str, job_id: str) -> str:
+    return os.path.join(lineage.journal_dir(root, job_id), "leftover")
+
+
 def _write_matched(root: str, job_id: str, fragment_id: str, keys) -> str:
     """Idempotent journal sidecar: the source keys this fragment consumed."""
     d = _matched_dir(root, job_id)
@@ -74,6 +78,26 @@ def _write_matched(root: str, job_id: str, fragment_id: str, keys) -> str:
 
         tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
         pq.write_table(pa.table({"image_id": pa.array(keys, pa.string())}), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _write_leftover(root: str, job_id: str, fragment_id: str,
+                    rows: pa.Table) -> str | None:
+    """Idempotent journal sidecar: routed-but-unmatched source rows (full
+    payload; bounded by the routing false-positive rate, not the source)."""
+    if rows.num_rows == 0:
+        return None
+    d = _leftover_dir(root, job_id)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{fragment_id}.parquet")
+    if not os.path.exists(path):
+        import uuid
+
+        from ..sources.fragments import column_compression
+
+        tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+        pq.write_table(rows, tmp, compression=column_compression(rows.schema))
         os.replace(tmp, path)
     return path
 
@@ -173,14 +197,14 @@ def _routing_ref(table, touched):
 
 
 def _route_batches(frags_ref, key_col: str = "image_id", *,
-                   include_unclaimed: bool = False):
+                   include_unclaimed: bool = False,
+                   insert_parts: int = 1):
     """map_batches fn: one output row per (source row, candidate fragment),
     FRAG_COL = the fragment's index in the sorted touched list.  Key hashes
     are computed once per batch and sliced per fragment for the bloom
-    probes.  Unclaimed rows (pure inserts) are dropped unless
-    ``include_unclaimed`` (the insert pass re-derives them by anti-join
-    against the matched-key sidecars, which also catches bloom false
-    positives)."""
+    probes.  With ``include_unclaimed``, rows with no candidate fragment
+    (pure inserts) ride the same exchange under negative partition ids
+    -1 .. -insert_parts (hash-salted so the insert write parallelizes)."""
 
     def route(batch: pa.Table) -> pa.Table:
         import ray as _r
@@ -217,9 +241,10 @@ def _route_batches(frags_ref, key_col: str = "image_id", *,
         if include_unclaimed:
             rest = batch.filter(pa.array(~claimed))
             if rest.num_rows:
+                salted = assign_hash_part(rest, key_col, insert_parts)
+                ids = -1 - salted[PART_COL].to_numpy()
                 outs.append(rest.append_column(
-                    FRAG_COL,
-                    pa.array([INSERT_KEY] * rest.num_rows, pa.int32())))
+                    FRAG_COL, pa.array(ids, pa.int32())))
         return (pa.concat_tables(outs).combine_chunks() if outs
                 else out_schema.empty_table())
 
@@ -239,23 +264,50 @@ def _dedup_keep_one(tbl: pa.Table, key_col: str) -> pa.Table:
 def cow_merge(table, src_files: list[str], touched, *, job_id: str,
               target_bytes: int, failpoint: int | None = None,
               num_insert_parts: int | None = None,
-              delete_col: str | None = None) -> None:
+              delete_col: str | None = None,
+              phases: dict | None = None) -> None:
     """Execute the copy-on-write merge; results land in the job's lineage
     journal (the caller aggregates records and commits, same as the shuffle
-    strategy).  Idempotent/resumable per fragment and per insert partition."""
+    strategy).  Idempotent/resumable per fragment and per insert partition.
+    ``phases`` (optional dict) receives per-sub-phase seconds
+    (route+rewrite / insert) for the caller's report."""
+    import time as _time
+
     import ray
     import ray.data
 
     from ..sources.fragments import metas_to_batch, write_table_as_fragments
 
+    _t0 = _time.time()
     root = table.root
     touched = sorted(touched, key=lambda f: f.fragment_id)
     frags_ref = _routing_ref(table, touched)
     frag_ids = [f.fragment_id for f in touched]
     frag_paths = [f.path for f in touched]
 
+    # p_ins must be STABLE across resume: cow-insert-NNNNN journal records
+    # are keyed by hash partition (and the route itself salts by it), so
+    # replaying under a different partition count would silently drop or
+    # duplicate insert rows.  Persist it BEFORE routing.
+    meta = lineage.load_job_meta(root, job_id) or {}
+    if num_insert_parts is not None:
+        p_ins = int(num_insert_parts)
+    elif "p_ins" in meta:
+        p_ins = int(meta["p_ins"])
+    else:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        p_ins = max(1, min(8, n_cpus // 2))
+    if meta.get("p_ins") != p_ins:
+        meta["p_ins"] = p_ins
+        lineage.write_job_meta(root, job_id, meta)
+
+    # ONE source read feeds the whole merge: claimed rows fan to their
+    # candidate fragments, unclaimed rows (pure inserts) ride the same
+    # exchange under salted negative parts — no second source scan anywhere
     routed = ray.data.read_parquet(src_files).map_batches(
-        _route_batches(frags_ref), batch_format="pyarrow")
+        _route_batches(frags_ref, include_unclaimed=True,
+                       insert_parts=p_ins),
+        batch_format="pyarrow")
 
     def rewrite(group: pa.Table) -> pa.Table:
         fidx = group[FRAG_COL][0].as_py()
@@ -274,7 +326,10 @@ def cow_merge(table, src_files: list[str], touched, *, job_id: str,
             src = src.filter(pc.invert(dmask)).drop_columns([delete_col])
         else:
             dels = None
-        tgt = pq.read_table(os.path.join(root, frag_paths[fidx]))
+        # single-threaded read: this runs one-task-per-CPU; arrow's default
+        # parallel read thrashes when 16 tasks each fan 8 IO threads
+        tgt = pq.read_table(os.path.join(root, frag_paths[fidx]),
+                            use_threads=False, memory_map=True)
         hit = pc.is_in(tgt["image_id"], value_set=src["image_id"].combine_chunks())
         if dels is not None and dels.num_rows:
             hit_del = pc.is_in(tgt["image_id"],
@@ -284,13 +339,22 @@ def cow_merge(table, src_files: list[str], touched, *, job_id: str,
         # matched = source keys actually present in THIS fragment (upsert AND
         # delete matches — both are consumed, so the insert pass skips them)
         matched = tgt.filter(hit)["image_id"]
-        applied = src.filter(pc.is_in(src["image_id"],
-                                      value_set=matched.combine_chunks()))
-        merged = pa.concat_tables(
-            [tgt.filter(pc.invert(hit)), applied]).combine_chunks()
+        applied_mask = pc.is_in(src["image_id"],
+                                value_set=matched.combine_chunks())
+        applied = src.filter(applied_mask)
+        # concat without combine_chunks: concat is zero-copy (chunk-list
+        # append); combining would memcpy the full payload a second time
+        merged = pa.concat_tables([tgt.filter(pc.invert(hit)), applied])
         metas = write_table_as_fragments(
             root, merged, target_bytes=target_bytes, name_parts=(job_id, pid))
         _write_matched(root, job_id, fid, matched.to_pylist())
+        # leftover = rows ROUTED here (range/bloom candidates) but matching
+        # no target row: bloom false positives and rows whose true match
+        # lives in another candidate fragment.  The insert pass consumes
+        # them (anti-joined against ALL matched sidecars), so no stage ever
+        # rescans the source.  Written BEFORE the lineage record → a
+        # journaled fragment's leftovers always exist on resume.
+        _write_leftover(root, job_id, fid, src.filter(pc.invert(applied_mask)))
         lineage.write_record(root, lineage.PartitionRecord(
             job_id=job_id, partition_id=pid,
             frags_in=[fid],
@@ -304,112 +368,106 @@ def cow_merge(table, src_files: list[str], touched, *, job_id: str,
 
     # One REAL task per touched fragment via the storage-partitioned shuffle
     # (a Dataset.groupby().map_groups over the tiny routed source collapses
-    # all groups into one block → one serial task; fs_shuffle_groups fans one
+    # all groups into one block → one serial task; fs map + reduce fans one
     # Ray task per partition regardless of input size).  Only SOURCE rows
     # move; each task side-reads its fragment directly from table storage.
-    from .fs_shuffle import cleanup, fs_shuffle_groups
+    from .fs_shuffle import cleanup, fs_reduce, fs_shuffle_map
 
     work = os.path.join(lineage.journal_dir(root, job_id), "cow-route")
     cleanup(work)
     try:
-        fs_shuffle_groups(routed, part_col=FRAG_COL, work_dir=work,
-                          reduce_fn=rewrite)
+        manifest = fs_shuffle_map(routed, part_col=FRAG_COL, work_dir=work)
+        if phases is not None:
+            phases["cow_route_map"] = round(_time.time() - _t0, 3)
+            _t0 = _time.time()
+        fs_reduce({p: v for p, v in manifest.items() if p >= 0}, rewrite)
+        if phases is not None:
+            phases["cow_rewrite"] = round(_time.time() - _t0, 3)
+            _t0 = _time.time()
+
+        # ---- insert pass: unclaimed rows (negative parts of the SAME
+        # exchange) plus each fragment's routed-but-unmatched leftovers,
+        # anti-joined against the matched sidecars.  Every side here is
+        # bounded by insert/update/false-positive counts — the source is
+        # never rescanned and no Dataset groupby runs.
+        mdir, ldir = _matched_dir(root, job_id), _leftover_dir(root, job_id)
+        matched_files = sorted(
+            os.path.join(mdir, p) for p in
+            (os.listdir(mdir) if os.path.isdir(mdir) else [])
+            if p.endswith(".parquet"))
+        leftover_files = sorted(
+            os.path.join(ldir, p) for p in
+            (os.listdir(ldir) if os.path.isdir(ldir) else [])
+            if p.endswith(".parquet"))
+        n_frags = len(frag_ids)
+
+        def write_inserts(group: pa.Table, *, part: int) -> pa.Table:
+            pid = f"cow-insert-{part:05d}"
+            prior = lineage.load_record(root, job_id, pid)
+            if prior is not None:
+                return metas_to_batch(prior.out_metas())
+            if failpoint is not None and n_frags + part >= failpoint:
+                raise RuntimeError(f"failpoint: simulated crash at {pid}")
+            pieces = [group.drop_columns([FRAG_COL])]
+            # leftovers re-salt to THIS part's keys (files are FP-bounded
+            # small; read by each insert task — p_ins × tiny)
+            for f in leftover_files:
+                t = pq.read_table(f, use_threads=False)
+                if t.num_rows:
+                    sp = assign_hash_part(t, "image_id", p_ins)
+                    pieces.append(sp.filter(
+                        pc.equal(sp[PART_COL], part)).drop_columns([PART_COL]))
+            rows = pa.concat_tables(pieces).combine_chunks()
+            if matched_files:
+                # matched keys = update count, bounded by the source — the
+                # sidecars are key-only parquet, read once per insert task
+                mk = pa.concat_tables(
+                    [pq.read_table(f, use_threads=False)
+                     for f in matched_files])["image_id"].combine_chunks()
+                rows = rows.filter(
+                    pc.invert(pc.is_in(rows["image_id"], value_set=mk)))
+            if delete_col and delete_col in rows.column_names:
+                # WHEN MATCHED THEN DELETE markers never insert: an
+                # unmatched marker is a no-op
+                dmask = pc.fill_null(pc.cast(rows[delete_col], pa.bool_()),
+                                     False)
+                rows = rows.filter(pc.invert(dmask)).drop_columns([delete_col])
+            rows = _dedup_keep_one(rows, "image_id")
+            metas = write_table_as_fragments(
+                root, rows, target_bytes=target_bytes,
+                name_parts=(job_id, pid))
+            lineage.write_record(root, lineage.PartitionRecord(
+                job_id=job_id, partition_id=pid,
+                frags_in=["source"],
+                frags_out=[m.to_dict() for m in metas],
+                rows=rows.num_rows,
+                bytes=sum(m.bytes for m in metas),
+                extra={"updates": 0, "inserts": int(rows.num_rows)},
+            ))
+            return metas_to_batch(metas)
+
+        # every insert partition runs even when the exchange routed it no
+        # rows (leftovers alone can populate it) — and journaling each part
+        # keeps resume exact
+        def routed_schema_empty() -> pa.Table:
+            s = table.schema.append(pa.field(FRAG_COL, pa.int32()))
+            if delete_col:
+                s = s.append(pa.field(delete_col, pa.bool_()))
+            return s.empty_table()
+
+        from .fs_shuffle import read_partition
+
+        @ray.remote(num_cpus=1)
+        def insert_task(k: int, pieces):
+            if pa.io_thread_count() > 1:
+                pa.set_io_thread_count(1)
+            group = read_partition(pieces) if pieces else routed_schema_empty()
+            return write_inserts(group, part=k)
+
+        ins_manifest = {p: v for p, v in manifest.items() if p < 0}
+        ray.get([insert_task.remote(k, ins_manifest.get(-1 - k, []))
+                 for k in range(p_ins)])
     finally:
         cleanup(work)
-
-    # ---- insert pass: source keys consumed by no fragment -----------------
-    matched_files = sorted(
-        os.path.join(_matched_dir(root, job_id), p)
-        for p in (os.listdir(_matched_dir(root, job_id))
-                  if os.path.isdir(_matched_dir(root, job_id)) else [])
-        if p.endswith(".parquet"))
-    def _strip(b: pa.Table) -> pa.Table:
-        if "__side" in b.column_names:
-            b = b.drop_columns(["__side"])
-        if delete_col and delete_col in b.column_names:
-            # WHEN MATCHED THEN DELETE markers never insert: an unmatched
-            # marker is a no-op, a matched one was consumed by its fragment
-            dmask = pc.fill_null(pc.cast(b[delete_col], pa.bool_()), False)
-            b = b.filter(pc.invert(dmask)).drop_columns([delete_col])
-        return b
-
-    src_ds = ray.data.read_parquet(src_files).map_batches(
-        _strip, batch_format="pyarrow")
-    max_bcast = int(os.environ.get("GRAFT_COW_BCAST_KEYS", "2000000"))
-    n_matched = sum(pq.ParquetFile(p).metadata.num_rows for p in matched_files)
-    if not matched_files:
-        inserts = src_ds
-    elif n_matched <= max_bcast:
-        # matched-key set is small (bounded by the update count, known from
-        # the sidecar footers without reading them): broadcast it once and
-        # anti-filter the source map-only — two shuffles cheaper than the
-        # general join below, and the fixed Dataset-op latency it avoids is
-        # exactly what kept cow's exchange slower than the hash co-group at
-        # bench scale.
-        matched_tbl = pa.concat_tables(
-            [pq.read_table(p) for p in matched_files])
-        matched_ref = ray.put(matched_tbl["image_id"].combine_chunks())
-
-        def anti(batch: pa.Table) -> pa.Table:
-            keys = ray.get(matched_ref)
-            return batch.filter(
-                pc.invert(pc.is_in(batch["image_id"], value_set=keys)))
-
-        inserts = src_ds.map_batches(anti, batch_format="pyarrow")
-    else:
-        from ray.data.aggregate import Count
-
-        matched_ds = (ray.data.read_parquet(matched_files)
-                      .groupby("image_id").aggregate(Count(alias_name="__m")))
-        nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
-        joined = src_ds.join(matched_ds, join_type="left_outer",
-                             num_partitions=nparts, on=("image_id",))
-        inserts = joined.map_batches(
-            lambda b: b.filter(pc.is_null(b["__m"])).drop_columns(["__m"]),
-            batch_format="pyarrow")
-
-    # p_ins must be STABLE across resume: cow-insert-NNNNN journal records
-    # are keyed by hash partition, so replaying them under a different
-    # partition count (e.g. a resume on a cluster with a different CPU
-    # count) would silently drop or duplicate insert rows.  Persist the
-    # chosen count in the job meta (alongside run_merge's 'touched' /
-    # 'num_parts') and reuse it on every rerun.
-    meta = lineage.load_job_meta(root, job_id) or {}
-    if num_insert_parts is not None:
-        p_ins = int(num_insert_parts)
-    elif "p_ins" in meta:
-        p_ins = int(meta["p_ins"])
-    else:
-        n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        p_ins = max(1, min(8, n_cpus // 2))
-    if meta.get("p_ins") != p_ins:
-        meta["p_ins"] = p_ins
-        lineage.write_job_meta(root, job_id, meta)
-    n_frags = len(frag_ids)
-
-    def write_inserts(group: pa.Table) -> pa.Table:
-        part = group[PART_COL][0].as_py()
-        pid = f"cow-insert-{part:05d}"
-        prior = lineage.load_record(root, job_id, pid)
-        if prior is not None:
-            return metas_to_batch(prior.out_metas())
-        if failpoint is not None and n_frags + part >= failpoint:
-            raise RuntimeError(f"failpoint: simulated crash at {pid}")
-        rows = _dedup_keep_one(group.drop_columns([PART_COL]), "image_id")
-        metas = write_table_as_fragments(
-            root, rows, target_bytes=target_bytes, name_parts=(job_id, pid))
-        lineage.write_record(root, lineage.PartitionRecord(
-            job_id=job_id, partition_id=pid,
-            frags_in=["source"],
-            frags_out=[m.to_dict() for m in metas],
-            rows=rows.num_rows,
-            bytes=sum(m.bytes for m in metas),
-            extra={"updates": 0, "inserts": int(rows.num_rows)},
-        ))
-        return metas_to_batch(metas)
-
-    parted = inserts.map_batches(
-        lambda b: assign_hash_part(b, "image_id", p_ins), batch_format="pyarrow")
-    for _ in parted.groupby(PART_COL).map_groups(
-            write_inserts, batch_format="pyarrow").iter_batches():
-        pass
+    if phases is not None:
+        phases["cow_insert"] = round(_time.time() - _t0, 3)

@@ -102,7 +102,8 @@ def _update_in_fragment(batch: pa.Table, *, root: str, job_id: str,
             raise RuntimeError(f"failpoint fragment {row['idx']}")
         if lineage.load_record(root, job_id, fid) is not None:
             continue
-        tbl = pq.read_table(os.path.join(root, row["path"]))
+        tbl = pq.read_table(os.path.join(root, row["path"]),
+                            use_threads=False)
         mask = _match_expr(tbl, predicates)
         updated = int(pc.sum(mask).as_py() or 0)
         if updated == 0:

@@ -173,27 +173,50 @@ def test_cow_merge_pure_insert_keeps_fragments(tmp_path, monkeypatch):
     assert len(ids) == len(set(ids)) == 220
 
 
-def test_cow_insert_pass_join_fallback_matches_broadcast(tmp_path, monkeypatch):
-    """The insert pass has two physical plans: broadcast anti-filter (matched
-    keys under GRAFT_COW_BCAST_KEYS) and the distributed left-outer join.
-    Forcing the join path (cap=0) must produce the identical table."""
-    import numpy as np
+def test_cow_cross_claimed_leftovers_no_duplicates(tmp_path):
+    """A source row whose key RANGE matches several fragments is routed to
+    all of them but matches in only one; the others record it as a leftover.
+    The insert pass must drop those leftovers (their key is in a matched
+    sidecar) — one update, zero phantom inserts.  Bloom sidecars are removed
+    so range-only routing deterministically cross-claims every row."""
+    import glob
+    import os
 
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocel_ocpn_lakehouse_ray.config import TableConfig
     from ocel_ocpn_lakehouse_ray.sources.generator import (
-        create_image_table,
-        merge_source_dataset,
+        gen_batch,
+        gen_update_batch,
     )
     from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
-    from ocel_ocpn_lakehouse_ray.stages.verify import verify_merged_map_only
+    from ocel_ocpn_lakehouse_ray.table import IMAGE_SCHEMA, LakeTable
 
-    monkeypatch.setenv("GRAFT_MERGE", "cow")
-    monkeypatch.setenv("GRAFT_COW_BCAST_KEYS", "0")
     root = str(tmp_path / "t")
-    t = create_image_table(root, 300, num_fragments=8, seed=42)
-    t2, rep = run_merge(t, merge_source_dataset(300, seed=42, num_blocks=2),
-                        job_id="cow-joinpath")
-    assert rep["updates"] > 0 and rep["inserts"] == 300 // 20
-    vr = verify_merged_map_only(t2, n=300, seed=42, num_blocks=4)
-    assert vr["passed"] and vr["id_checksum_ok"], vr
+    t = LakeTable.create(root, IMAGE_SCHEMA,
+                         TableConfig(target_fragment_bytes=1 << 30))
+    # two fragments with fully INTERLEAVED key ranges (evens / odds)
+    t = t.append_arrow(gen_batch(np.arange(0, 200, 2), 42),
+                       name_parts=("seed", "even"))
+    t = t.append_arrow(gen_batch(np.arange(1, 200, 2), 42),
+                       name_parts=("seed", "odd"))
+    assert len(t.fragments) == 2
+    for b in glob.glob(os.path.join(root, "data", "*.bloom")):
+        os.remove(b)  # force range-only routing → both fragments claimed
+
+    upd = gen_update_batch(np.arange(0, 40, 2), 42)   # even keys only
+    new = gen_batch(np.arange(5) + 7 * 10**12, 43)
+    src = ray.data.from_arrow(pa.concat_tables([upd, new]))
+    import os as _os
+
+    _os.environ["GRAFT_MERGE"] = "cow"
+    try:
+        t2, rep = run_merge(t, src, job_id="cow-crossclaim")
+    finally:
+        _os.environ.pop("GRAFT_MERGE", None)
+    assert rep["updates"] == 20 and rep["inserts"] == 5, rep
     ids = t2.to_arrow(columns=["image_id"])["image_id"].to_pylist()
-    assert len(ids) == len(set(ids)) == 300 + 300 // 20
+    assert len(ids) == len(set(ids)) == 200 + 5
