@@ -246,10 +246,11 @@ def main(argv=None):
     elif args.command == "replicate":
         from .pipelines.replicate import replicate
 
-        # --root = source table; --out-dir = follower root
+        # --root = source table; --out-dir = follower root; --branch mirrors
+        # that source branch onto the follower instead of syncing main
         if not args.out_dir:
             raise SystemExit("replicate requires --out-dir (follower root)")
-        out = replicate(args.root, args.out_dir)
+        out = replicate(args.root, args.out_dir, branch=args.branch)
     elif args.command == "delete":
         from .stages.delete import run_delete
 

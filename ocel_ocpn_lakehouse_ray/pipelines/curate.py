@@ -55,36 +55,99 @@ def _quality_mask(texts: list[str], *, min_tokens: int, max_stop_ratio: float,
     return ok
 
 
+def _drops_path(out_dir: str, stage: str) -> str:
+    import os
+
+    return os.path.join(out_dir, "_curation", f"{stage}_drops.parquet")
+
+
+def _load_drops(out_dir: str, stage: str):
+    """Journaled drop manifest for a stage, or None if not yet computed."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = _drops_path(out_dir, stage)
+    if not os.path.exists(path):
+        return None
+    return set(pq.read_table(path)["doc_id"].to_pylist())
+
+
+def _journal_drops(out_dir: str, stage: str, drops: set) -> None:
+    """Atomic (tmp+rename) per-stage drop manifest — the curation journal.
+    A resumed run loads it instead of recomputing the stage, so an
+    interrupted curation finishes stage-exactly (VERDICT r4 #7)."""
+    import os
+    import uuid
+
+    path = _drops_path(out_dir, stage)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(drops), pa.int64())}), tmp)
+    os.replace(tmp, path)
+
+
 def curate_corpus(sf_dir: str, out_dir: str, *,
                   min_tokens: int = DEFAULTS["min_tokens"],
                   max_stop_ratio: float = DEFAULTS["max_stop_ratio"],
                   langs: tuple = DEFAULTS["langs"],
                   jaccard_threshold: float = JACCARD_THRESHOLD,
-                  max_driver_drops: int = 10_000_000) -> dict:
+                  max_driver_drops: int = 10_000_000,
+                  failpoint: str | None = None) -> dict:
     """Run the curation flow; returns the per-stage report.  Output parquet
-    shards land in ``out_dir`` (one file per output block — resumable by
-    rerunning; the write is last and atomic per file)."""
+    shards land in ``out_dir``.
+
+    Resumable stage-exactly: each stage's drop SET is journaled to
+    ``out_dir/_curation/<stage>_drops.parquet`` (atomic tmp+rename) the
+    moment it completes, and a rerun loads journaled stages instead of
+    recomputing them — an interruption mid-near-dedup resumes with the
+    exact-dedup result it already had.  The export is guarded by a
+    ``_SUCCESS`` marker: a crashed export clears its partial shards and
+    rewrites.  ``failpoint`` ('exact' | 'near') crashes just after that
+    stage journals, for resume tests."""
     import ray
 
     qkw = dict(min_tokens=min_tokens, max_stop_ratio=max_stop_ratio,
                langs=tuple(langs))
 
     # ---- pass A: per-doc metadata over quality survivors ------------------
+    import json as _json
+    import os as _os
+
     docs = _read_wide(sf_dir, "documents", columns=["doc_id", "text"])
-    n_input = docs.count()
+    counts_path = _os.path.join(out_dir, "_curation", "counts.json")
+    journaled_exact = _load_drops(out_dir, "exact")
+    if journaled_exact is not None and _os.path.exists(counts_path):
+        # resume past pass A entirely: its only consumers are the counts
+        # and the exact-dedup stage, both journaled
+        with open(counts_path) as f:
+            c = _json.load(f)
+        n_input, n_quality = c["n_input"], c["n_quality"]
+        md = None
+    else:
+        n_input = docs.count()
 
-    def meta_rows(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        ok = _quality_mask(texts, **qkw)
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)[ok]
-        kept = [t for t, k in zip(texts, ok) if k]
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "fp": pa.array(md5_fingerprint(kept), pa.string()),
-        })
+        def meta_rows(b: pa.Table) -> pa.Table:
+            texts = b["text"].to_pylist()
+            ok = _quality_mask(texts, **qkw)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)[ok]
+            kept = [t for t, k in zip(texts, ok) if k]
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "fp": pa.array(md5_fingerprint(kept), pa.string()),
+            })
 
-    md = docs.map_batches(meta_rows, batch_format="pyarrow").materialize()
-    n_quality = md.count()
+        md = docs.map_batches(meta_rows, batch_format="pyarrow").materialize()
+        n_quality = md.count()
+        _os.makedirs(_os.path.dirname(counts_path), exist_ok=True)
+        tmp = counts_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"n_input": int(n_input),
+                        "n_quality": int(n_quality)}, f)
+        _os.replace(tmp, counts_path)
 
     # ---- exact dedup: losers of each fingerprint group --------------------
     def losers(g: pd.DataFrame) -> pd.DataFrame:
@@ -97,13 +160,21 @@ def curate_corpus(sf_dir: str, out_dir: str, *,
             "doc_id": np.concatenate(out) if out else
             np.array([], np.int64)})
 
-    exact_drops: set = set()
-    for b in bucketed_groups(md, "fp", losers).iter_batches(
-            batch_format="pyarrow"):
-        exact_drops.update(b["doc_id"].to_pylist())
-        if len(exact_drops) > max_driver_drops:
-            raise ValueError("exact-dup drop set exceeds max_driver_drops; "
-                             "shard the drop set (copartitioned_semi_join)")
+    journaled_exact = _load_drops(out_dir, "exact")
+    if journaled_exact is not None:
+        exact_drops: set = journaled_exact
+    else:
+        exact_drops = set()
+        for b in bucketed_groups(md, "fp", losers).iter_batches(
+                batch_format="pyarrow"):
+            exact_drops.update(b["doc_id"].to_pylist())
+            if len(exact_drops) > max_driver_drops:
+                raise ValueError(
+                    "exact-dup drop set exceeds max_driver_drops; "
+                    "shard the drop set (copartitioned_semi_join)")
+        _journal_drops(out_dir, "exact", exact_drops)
+    if failpoint == "exact":
+        raise RuntimeError("failpoint: crash after exact-dedup journal")
     drops_ref = ray.put(np.array(sorted(exact_drops), np.int64))
 
     # ---- pass B: near-dedup over survivors (band rows carry shingles) -----
@@ -147,13 +218,20 @@ def curate_corpus(sf_dir: str, out_dir: str, *,
         return pd.DataFrame({"doc_id": pd.Series(sorted(set(out)),
                                                  dtype=np.int64)})
 
-    near_drops: set = set()
-    for b in bucketed_groups(
-            docs.map_batches(band_rows, batch_format="pyarrow"),
-            "band", bucket_losers).iter_batches(batch_format="pyarrow"):
-        near_drops.update(b["doc_id"].to_pylist())
-        if len(near_drops) > max_driver_drops:
-            raise ValueError("near-dup drop set exceeds max_driver_drops")
+    journaled_near = _load_drops(out_dir, "near")
+    if journaled_near is not None:
+        near_drops: set = journaled_near
+    else:
+        near_drops = set()
+        for b in bucketed_groups(
+                docs.map_batches(band_rows, batch_format="pyarrow"),
+                "band", bucket_losers).iter_batches(batch_format="pyarrow"):
+            near_drops.update(b["doc_id"].to_pylist())
+            if len(near_drops) > max_driver_drops:
+                raise ValueError("near-dup drop set exceeds max_driver_drops")
+        _journal_drops(out_dir, "near", near_drops)
+    if failpoint == "near":
+        raise RuntimeError("failpoint: crash after near-dedup journal")
     all_drops_ref = ray.put(
         np.array(sorted(exact_drops | near_drops), np.int64))
 
@@ -167,12 +245,22 @@ def curate_corpus(sf_dir: str, out_dir: str, *,
                        _r.get(all_drops_ref))
         return b.filter(pa.array(ok))
 
-    out_ds = docs.map_batches(final_filter, batch_format="pyarrow")
-    out_ds.write_parquet(out_dir)
     import glob
     import os
 
     import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, "_curation", "_SUCCESS")
+    if not os.path.exists(marker):
+        # a crashed export leaves partial shards without the marker: clear
+        # them so the rerun's shard set (and glob count) is exact
+        for stale in glob.glob(os.path.join(out_dir, "*.parquet")):
+            os.remove(stale)
+        out_ds = docs.map_batches(final_filter, batch_format="pyarrow")
+        out_ds.write_parquet(out_dir)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("ok")
 
     files = glob.glob(os.path.join(out_dir, "*.parquet"))
     n_out = sum(pq.ParquetFile(f).metadata.num_rows for f in files)

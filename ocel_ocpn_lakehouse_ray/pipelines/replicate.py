@@ -87,9 +87,14 @@ def _ship_fragments(src_root: str, dst_root: str, frags: list) -> int:
     return len(items)
 
 
-def replicate(src_root: str, dst_root: str) -> dict:
+def replicate(src_root: str, dst_root: str, *, branch: str | None = None) -> dict:
     """One sync step: advance the follower at ``dst_root`` to the source's
-    current snapshot.  Creates the follower on first call."""
+    current snapshot.  Creates the follower on first call.  With ``branch``,
+    mirrors that source BRANCH onto the follower instead (see
+    replicate_branch) — the WAP-across-sites composition: stage on the
+    source, replicate the branch, audit and publish on the follower."""
+    if branch is not None:
+        return replicate_branch(src_root, dst_root, branch)
     src = LakeTable.load(src_root)
     state = _read_state(dst_root) if os.path.isdir(dst_root) else {}
 
@@ -135,9 +140,66 @@ def replicate(src_root: str, dst_root: str) -> dict:
                  "shipped_fragments": len(to_ship),
                  "removed_fragments": len(remove_ids)},
     )
-    _write_state(dst_root, {"last_src_version": src.version,
-                            "src_root": src_root})
+    state.update({"last_src_version": src.version, "src_root": src_root})
+    _write_state(dst_root, state)
     return {"applied": True, "mode": "append" if append_only else "mirror",
             "src_version": src.version, "dst_version": dst.version,
             "shipped_fragments": len(to_ship), "shipped_files": shipped,
             "removed_fragments": len(remove_ids)}
+
+
+def replicate_branch(src_root: str, dst_root: str, name: str) -> dict:
+    """Mirror one source branch onto the follower so that publishing it on
+    the FOLLOWER applies the same net change the source's publish applies.
+
+    The follower branch is written as a two-manifest subchain: v0 = a copy
+    of the source branch's FORK manifest (fork_uuid and fork point carried
+    over), v1 = the source branch HEAD collapsed into one commit.  Because
+    publish_branch applies head-vs-fork deltas, mirroring BOTH endpoints —
+    not just the head fragment set — keeps the delta identical even when
+    main advanced after the fork on either side; main appends replicated
+    meanwhile survive the follower's publish exactly as they survive the
+    source's.  Every data file the chain references ships (idempotent
+    tmp+rename, existing files skipped); sync state per branch is keyed by
+    (fork_uuid, head version) so re-created source branches re-mirror."""
+    from ..state import branches as br
+
+    src_head = br.load_branch_manifest(src_root, name)
+    src_fork = br.load_branch_manifest(src_root, name, 0)
+    if not os.path.isdir(os.path.join(dst_root, mf.MANIFEST_DIR)):
+        replicate(src_root, dst_root)  # bootstrap the follower's main first
+    state = _read_state(dst_root)
+    bstate = state.get("branches", {}).get(name)
+    key = {"fork_uuid": src_fork.summary.get("fork_uuid"),
+           "head": src_head.version}
+    if bstate == key and name in br.list_branches(dst_root):
+        return {"applied": False, "branch": name, "reason": "up to date",
+                **key}
+
+    # ship every data file the branch chain references that the follower
+    # lacks (fork fragments too: the chain pins them against follower GC)
+    frags = {f.fragment_id: f
+             for m in (src_fork, src_head) for f in m.fragments}
+    shipped = _ship_fragments(src_root, dst_root, list(frags.values()))
+
+    chain = [src_fork]
+    if src_head.version > 0:
+        chain.append(mf.Manifest(
+            version=1,
+            parent=0,
+            created_at=src_head.created_at,
+            operation="replicate_branch",
+            schema=src_head.schema,
+            config=src_head.config,
+            fragments=list(src_head.fragments),
+            summary={"branch": name,
+                     "replicated_from_branch_head": src_head.version,
+                     "src_root": src_root},
+        ))
+    br.write_branch_chain(dst_root, name, chain)
+    state.setdefault("branches", {})[name] = key
+    _write_state(dst_root, state)
+    return {"applied": True, "branch": name,
+            "shipped_files": shipped,
+            "src_branch_head": src_head.version,
+            "dst_branch_head": chain[-1].version, **key}

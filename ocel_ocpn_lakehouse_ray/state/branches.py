@@ -201,6 +201,28 @@ def _branch_versions(root: str, name: str) -> list[int]:
                   if n.startswith("v") and n.endswith(".json"))
 
 
+def write_branch_chain(root: str, name: str,
+                       manifests: list[mf.Manifest]) -> None:
+    """Create (or replace) a branch subchain with the given manifests —
+    the branch-replication primitive (pipelines/replicate.py): a follower
+    mirrors a source branch as [fork copy, collapsed head] so its
+    publish_branch computes the IDENTICAL net change as the source's.
+    Versions must be contiguous from 0; the head pointer lands on the last."""
+    import shutil
+
+    if not manifests or [m.version for m in manifests] != list(
+            range(len(manifests))):
+        raise ValueError("branch chain must be contiguous versions from 0")
+    bdir = branch_dir(root, name)
+    if os.path.isdir(bdir):
+        shutil.rmtree(bdir)
+    os.makedirs(bdir)
+    for m in manifests:
+        with open(_bmanifest_path(root, name, m.version), "x") as f:
+            f.write(m.to_json())
+    _swap_branch_head(root, name, manifests[-1].version)
+
+
 def delete_branch(root: str, name: str) -> None:
     """Drop the branch chain.  Data files referenced only by the branch
     become unreachable and are collected by the normal GC sweep."""

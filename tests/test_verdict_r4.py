@@ -209,16 +209,25 @@ def test_merge_auto_plan_choice_and_resume_stability(tmp_path, monkeypatch):
 
     monkeypatch.setenv("GRAFT_MERGE", "auto")
 
-    # default floor (2 GiB): toy merge chooses the shuffle plan
+    # default floor is now 0 (round 5: cow's fixed costs were removed and it
+    # A/B-wins at every tier) — the ~5 % source vs full touched set chooses
+    # cow by pure byte math; an env floor above the table forces shuffle
     t = create_image_table(str(tmp_path / "a"), 200, num_fragments=6, seed=42)
     t2, rep = run_merge(t, merge_source_dataset(200, seed=42, num_blocks=2),
                         job_id="auto-s")
-    assert lineage.load_job_meta(t.root, "auto-s")["plan"] == "shuffle"
+    assert lineage.load_job_meta(t.root, "auto-s")["plan"] == "cow"
+    vr = verify_merged_map_only(t2, n=200, seed=42, num_blocks=4)
+    assert vr["passed"], vr
+    t = create_image_table(str(tmp_path / "a2"), 200, num_fragments=6, seed=42)
+    monkeypatch.setenv("GRAFT_AUTO_COW_MIN_BYTES", str(1 << 40))
+    t2, rep = run_merge(t, merge_source_dataset(200, seed=42, num_blocks=2),
+                        job_id="auto-s2")
+    assert lineage.load_job_meta(t.root, "auto-s2")["plan"] == "shuffle"
     vr = verify_merged_map_only(t2, n=200, seed=42, num_blocks=4)
     assert vr["passed"], vr
 
-    # floor 0: the ~5 % source vs full touched set chooses cow; crash, then
-    # resume under a HUGE floor — must reuse the journaled cow plan
+    # crash under floor 0 (plan=cow journaled), then resume under a HUGE
+    # floor — must reuse the journaled cow plan
     monkeypatch.setenv("GRAFT_AUTO_COW_MIN_BYTES", "0")
     t = create_image_table(str(tmp_path / "b"), 200, num_fragments=6, seed=42)
     with pytest.raises(Exception, match="failpoint"):
