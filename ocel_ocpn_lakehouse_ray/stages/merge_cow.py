@@ -408,7 +408,16 @@ def cow_merge(table, src_files: list[str], touched, *, job_id: str,
                 return metas_to_batch(prior.out_metas())
             if failpoint is not None and n_frags + part >= failpoint:
                 raise RuntimeError(f"failpoint: simulated crash at {pid}")
-            pieces = [group.drop_columns([FRAG_COL])]
+            g = group.drop_columns([FRAG_COL])
+            if delete_col and delete_col in g.column_names:
+                # WHEN MATCHED THEN DELETE markers never insert (an
+                # unmatched marker is a no-op) — strip BEFORE the leftover
+                # concat: leftover sidecars are written marker-stripped, so
+                # both sides must share the schema
+                dmask = pc.fill_null(pc.cast(g[delete_col], pa.bool_()),
+                                     False)
+                g = g.filter(pc.invert(dmask)).drop_columns([delete_col])
+            pieces = [g]
             # leftovers re-salt to THIS part's keys (files are FP-bounded
             # small; read by each insert task — p_ins × tiny)
             for f in leftover_files:
@@ -426,12 +435,6 @@ def cow_merge(table, src_files: list[str], touched, *, job_id: str,
                      for f in matched_files])["image_id"].combine_chunks()
                 rows = rows.filter(
                     pc.invert(pc.is_in(rows["image_id"], value_set=mk)))
-            if delete_col and delete_col in rows.column_names:
-                # WHEN MATCHED THEN DELETE markers never insert: an
-                # unmatched marker is a no-op
-                dmask = pc.fill_null(pc.cast(rows[delete_col], pa.bool_()),
-                                     False)
-                rows = rows.filter(pc.invert(dmask)).drop_columns([delete_col])
             rows = _dedup_keep_one(rows, "image_id")
             metas = write_table_as_fragments(
                 root, rows, target_bytes=target_bytes,

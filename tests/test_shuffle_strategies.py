@@ -173,6 +173,67 @@ def test_cow_merge_pure_insert_keeps_fragments(tmp_path, monkeypatch):
     assert len(ids) == len(set(ids)) == 220
 
 
+def test_cow_delete_markers_with_leftovers_and_inserts(tmp_path):
+    """delete_col + the single-exchange insert pass: unmatched delete
+    markers (routed to insert partitions) are no-ops, matched markers
+    delete, leftovers (cross-claimed rows, marker-stripped sidecars) and
+    pure inserts concat under ONE schema — regression for the
+    marker-column schema mismatch between exchange rows and leftover
+    files."""
+    import glob
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocel_ocpn_lakehouse_ray.config import TableConfig
+    from ocel_ocpn_lakehouse_ray.sources.generator import (
+        gen_batch,
+        gen_update_batch,
+    )
+    from ocel_ocpn_lakehouse_ray.stages.merge import run_merge
+    from ocel_ocpn_lakehouse_ray.table import IMAGE_SCHEMA, LakeTable
+
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, IMAGE_SCHEMA,
+                         TableConfig(target_fragment_bytes=1 << 30))
+    t = t.append_arrow(gen_batch(np.arange(0, 100, 2), 42),
+                       name_parts=("seed", "even"))
+    t = t.append_arrow(gen_batch(np.arange(1, 100, 2), 42),
+                       name_parts=("seed", "odd"))
+    for b in glob.glob(_os.path.join(root, "data", "*.bloom")):
+        _os.remove(b)  # range-only routing → cross-claims → leftovers
+
+    upd = gen_update_batch(np.arange(0, 20, 2), 42)          # 10 updates
+    new = gen_batch(np.arange(4) + 8 * 10**12, 43)           # pure inserts
+    # matched delete markers (keys 1,3) + UNMATCHED markers (far keys →
+    # unclaimed → ride the insert partitions; must be dropped, not inserted)
+    del_match = gen_batch(np.array([1, 3]), 42)
+    del_miss = gen_batch(np.array([5, 7]) + 9 * 10**12, 44)
+    markers = pa.concat_tables([del_match, del_miss]).append_column(
+        "__delete", pa.array([True] * 4))
+    rest = pa.concat_tables([upd, new])
+    src = pa.concat_tables([
+        rest.append_column("__delete", pa.array([False] * rest.num_rows)),
+        markers])
+    _os.environ["GRAFT_MERGE"] = "cow"
+    try:
+        t2, rep = run_merge(t, ray.data.from_arrow(src),
+                            job_id="cow-delmix", delete_col="__delete")
+    finally:
+        _os.environ.pop("GRAFT_MERGE", None)
+    assert rep["updates"] == 10 and rep["inserts"] == 4, rep
+    assert rep["deletes"] == 2, rep
+    ids = t2.to_arrow(columns=["image_id"])["image_id"].to_pylist()
+    assert len(ids) == len(set(ids)) == 100 - 2 + 4
+    gen = set(gen_batch(np.array([1, 3]), 42)["image_id"].to_pylist())
+    assert not (gen & set(ids))  # deleted keys gone
+    miss = set(del_miss["image_id"].to_pylist())
+    assert not (miss & set(ids))  # unmatched markers never insert
+
+
 def test_cow_cross_claimed_leftovers_no_duplicates(tmp_path):
     """A source row whose key RANGE matches several fragments is routed to
     all of them but matches in only one; the others record it as a leftover.
