@@ -64,10 +64,15 @@ def q_trace_variants(sf_dir: str):
         return (pd.DataFrame({"pattern": pat.to_numpy()})
                 .groupby("pattern", sort=False).size().reset_index(name="n_traces"))
 
-    from ray.data.aggregate import Sum
+    from .queries import fold_partials
 
     pat_ds = bucketed_groups(ds, "user_id", variant)
-    return pat_ds.groupby("pattern").aggregate(Sum("n_traces", alias_name="n_traces"))
+    # partials bounded by distinct patterns × buckets → budget-guarded
+    # driver fold (falls back to the distributed groupby past the budget —
+    # trace-variant cardinality CAN explode on pathological logs)
+    out = fold_partials(pat_ds, ["pattern"], ["n_traces"])
+    return out if out is not None else pa.schema(
+        [("pattern", pa.string()), ("n_traces", pa.int64())]).empty_table()
 
 
 SQL_TRACE_VARIANTS = """
@@ -164,26 +169,29 @@ def q_conformance(sf_dir: str):
         out = df.groupby("user_id", sort=False)[["n_edges", "n_hit"]].sum().reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    from .queries import fold_partials
 
-    agg = te.map_batches(score_partial, batch_format="pyarrow").groupby(
-        "user_id"
-    ).aggregate(Sum("n_edges", alias_name="n_edges"), Sum("n_hit", alias_name="n_hit"))
-
-    def finish(b: pa.Table) -> pa.Table:
-        hit = pc.cast(b["n_hit"], pa.float64())
-        fitness = pc.divide(hit, pc.cast(b["n_edges"], pa.float64()))
-        precision = pc.divide(hit, pa.scalar(float(model_size)))
-        score = pc.add(pc.multiply(pa.scalar(0.7), fitness),
-                       pc.multiply(pa.scalar(0.3), precision))
-        return pa.table({
-            "user_id": b["user_id"],
-            "fitness": fitness,
-            "prec": precision,
-            "score": score,
-        })
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    # per-(user, block) partials are bounded by users × blocks-per-user —
+    # budget-guarded driver fold (distributed groupby fallback past it)
+    b = fold_partials(te.map_batches(score_partial, batch_format="pyarrow"),
+                      ["user_id"], ["n_edges", "n_hit"])
+    if b is None:
+        uid_t = te.schema().base_schema.field("user_id").type \
+            if te.schema() is not None else pa.int64()
+        return pa.schema([("user_id", uid_t), ("fitness", pa.float64()),
+                          ("prec", pa.float64()),
+                          ("score", pa.float64())]).empty_table()
+    hit = pc.cast(b["n_hit"], pa.float64())
+    fitness = pc.divide(hit, pc.cast(b["n_edges"], pa.float64()))
+    precision = pc.divide(hit, pa.scalar(float(model_size)))
+    score = pc.add(pc.multiply(pa.scalar(0.7), fitness),
+                   pc.multiply(pa.scalar(0.3), precision))
+    return pa.table({
+        "user_id": b["user_id"],
+        "fitness": fitness,
+        "prec": precision,
+        "score": score,
+    })
 
 
 SQL_CONFORMANCE = """

@@ -26,42 +26,50 @@ def q_petri_arcs_filtered(sf_dir: str, *, min_frequency: int = 5):
     """Frequency-filtered discovery variant: noise edges below
     ``min_frequency`` are dropped before net synthesis (the reference's
     discovery thresholds, `agent/config.yaml` discovery section)."""
-    edges = q_direct_follows(sf_dir)
+    import pyarrow.compute as pc
 
-    def keep(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return b.filter(pc.greater_equal(b["n"], pa.scalar(min_frequency)))
-
-    filtered = edges.map_batches(keep, batch_format="pyarrow")
-    # reuse the arc construction by faking the edges dataset shape
-    return _edges_to_arcs(filtered)
+    edges = _edges_table(q_direct_follows(sf_dir))
+    return _edges_to_arcs(
+        edges.filter(pc.greater_equal(edges["n"], pa.scalar(min_frequency))))
 
 
-def _edges_to_arcs(edges):
-    def to_arcs(b: pa.Table) -> pa.Table:
-        src = b["src"].to_pylist()
-        dst = b["dst"].to_pylist()
-        n = b["n"].to_pylist()
-        rows = {"source": [], "target": [], "kind": [], "frequency": []}
-        for s, d, f in zip(src, dst, n):
-            place = f"p_{s}__{d}"
-            rows["source"].append(f"t_{s}")
-            rows["target"].append(place)
-            rows["kind"].append("t2p")
-            rows["frequency"].append(f)
-            rows["source"].append(place)
-            rows["target"].append(f"t_{d}")
-            rows["kind"].append("p2t")
-            rows["frequency"].append(f)
-        return pa.table({
-            "source": pa.array(rows["source"], pa.string()),
-            "target": pa.array(rows["target"], pa.string()),
-            "kind": pa.array(rows["kind"], pa.string()),
-            "frequency": pa.array(rows["frequency"], pa.int64()),
-        })
+def _edges_table(edges) -> pa.Table:
+    """Normalize the DFG edge aggregate (pa.Table from the driver fold, or
+    a Dataset from the distributed fallback) to one Arrow table — bounded
+    by |event_types|² rows at any corpus scale."""
+    if isinstance(edges, pa.Table):
+        return edges
+    parts = [b for b in edges.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(parts) if parts else pa.schema(
+        [("src", pa.string()), ("dst", pa.string()),
+         ("n", pa.int64())]).empty_table()
 
-    return edges.map_batches(to_arcs, batch_format="pyarrow")
+
+def _edges_to_arcs(edges) -> pa.Table:
+    """Vectorized arc synthesis over the (tiny) edge table: every edge
+    (a→b) becomes a place ``p_a__b`` with arcs t_a → p_a__b → t_b."""
+    import pyarrow.compute as pc
+
+    b = _edges_table(edges)
+    place = pc.binary_join_element_wise(
+        pa.scalar("p_"), b["src"], pa.scalar("__"), b["dst"], pa.scalar(""))
+    t_src = pc.binary_join_element_wise(pa.scalar("t_"), b["src"], pa.scalar(""))
+    t_dst = pc.binary_join_element_wise(pa.scalar("t_"), b["dst"], pa.scalar(""))
+    n = b["n"].combine_chunks() if b.num_rows else b["n"]
+    t2p = pa.table({
+        "source": t_src, "target": place,
+        "kind": pa.array(["t2p"] * b.num_rows, pa.string()),
+        "frequency": n,
+    })
+    p2t = pa.table({
+        "source": place, "target": t_dst,
+        "kind": pa.array(["p2t"] * b.num_rows, pa.string()),
+        "frequency": n,
+    })
+    # interleave (t2p, p2t) per edge to preserve the original row order
+    both = pa.concat_tables([t2p, p2t]).combine_chunks()
+    idx = [i + j * b.num_rows for i in range(b.num_rows) for j in (0, 1)]
+    return both.take(pa.array(idx, pa.int64()))
 
 
 # Pluggable discovery algorithms (reference extension surface §2.10,
