@@ -85,9 +85,32 @@ def q_minhash_lsh_pairs(sf_dir: str):
     pairs = bucketed_groups(
         ds.map_batches(band_rows, batch_format="pyarrow"), "band", bucket_pairs
     )
-    # distinct pairs (a doc pair can share several bands): co-locate by
-    # hash(a) — identical pairs always share a bucket — and dedup vectorized
-    return bucketed_groups(pairs, "a", lambda g: g.drop_duplicates(["a", "b"]))
+    return distinct_pairs_bounded(pairs)
+
+
+def distinct_pairs_bounded(pairs):
+    """Distinct (a, b) candidate pairs: pairs are bounded by the near-dup
+    DENSITY, not the corpus, so dedup them on the driver under a budget —
+    saving a second bucket shuffle — and fall back to the co-located
+    distributed dedup past it (identical results; pathological
+    all-duplicate corpora stay distributed)."""
+    import os as _os
+
+    budget = int(_os.environ.get("GRAFT_FOLD_BUDGET", 2_000_000))
+    frames, rows = [], 0
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        frames.append(b.to_pandas())
+        rows += b.num_rows
+        if rows > budget:
+            break
+    if rows > budget:
+        # co-locate by hash(a) — identical pairs always share a bucket
+        return bucketed_groups(pairs, "a",
+                               lambda g: g.drop_duplicates(["a", "b"]))
+    if not frames:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                             "b": pd.Series(dtype=np.int64)})
+    return pd.concat(frames).drop_duplicates(["a", "b"]).reset_index(drop=True)
 
 
 def q_ngram_jaccard(sf_dir: str):

@@ -170,19 +170,22 @@ def bucketed_groups(ds, key_col: str, fn, *, buckets: int = 32):
 # ------------------------------------------------------------------ queries
 
 
-def fold_partials(ds, keys: list[str], sum_cols: list[str]) -> pa.Table:
+def fold_partials(ds, keys: list[str], sum_cols: list[str] | None = None,
+                  *, aggs: dict[str, str] | None = None) -> pa.Table:
     """Driver-side fold of a BOUNDED partial-aggregate dataset: when a map
     stage already combined per batch (<= groups × blocks partial rows), a
     Ray `Aggregate` operator pays ~1 s of fixed AllToAll latency to sum a
     few thousand rows — folding them on the driver is both faster and
-    exact (integer partials are order-independent).
+    exact (integer partials are order-independent; min/max are idempotent).
 
-    Budget-guarded like the conformance fold: past GRAFT_FOLD_BUDGET rows
-    (default 2M — groups × blocks would have to reach that) it falls back
-    to the distributed groupby with identical results, so the shape is
-    scale-proof by construction."""
-    from ray.data.aggregate import Sum
+    ``aggs`` maps column → "sum" | "min" | "max" (default: sum every
+    ``sum_cols``).  Budget-guarded like the conformance fold: past
+    GRAFT_FOLD_BUDGET rows (default 2M — groups × blocks would have to
+    reach that) it falls back to the distributed groupby with identical
+    results, so the shape is scale-proof by construction."""
+    from ray.data.aggregate import Max, Min, Sum
 
+    aggs = aggs or {c: "sum" for c in (sum_cols or [])}
     budget = int(os.environ.get("GRAFT_FOLD_BUDGET", 2_000_000))
     frames: list[pd.DataFrame] = []
     rows = 0
@@ -192,13 +195,14 @@ def fold_partials(ds, keys: list[str], sum_cols: list[str]) -> pa.Table:
         if rows > budget:
             break
     if rows > budget:
+        mk = {"sum": Sum, "min": Min, "max": Max}
         agg = ds.groupby(keys).aggregate(
-            *[Sum(c, alias_name=c) for c in sum_cols])
+            *[mk[f](c, alias_name=c) for c, f in aggs.items()])
         out = [b for b in agg.iter_batches(batch_format="pyarrow")]
         return pa.concat_tables(out) if out else None
     if rows == 0:
         return None
-    df = (pd.concat(frames).groupby(keys, as_index=False)[sum_cols].sum())
+    df = (pd.concat(frames).groupby(keys, as_index=False).agg(aggs))
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -536,38 +540,44 @@ FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
 def q_sessionize(sf_dir: str):
     """W3: per-user session assembly — start/end/duration/count/total
     (`ingest/complete_ocel_loader.py:281-351`)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
-
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
+    # per-batch partials (min/max/count/sum per user inside the block) +
+    # budget-guarded driver fold: min-of-mins / max-of-maxes / sum-of-sums
+    # re-fold exactly, and the partial rows are <= users-in-block per block
     def cents(b: pa.Table) -> pa.Table:
-        return pa.table({
+        t = pa.table({
             "user_id": b["user_id"],
             "ts": b["ts"],
             "value_c": pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(100.0))),
                                pa.int64()),
         })
+        return t.group_by("user_id").aggregate(
+            [("ts", "min"), ("ts", "max"), ("value_c", "sum"),
+             ([], "count_all")]
+        ).rename_columns(["user_id", "first_ts", "last_ts", "value_c",
+                          "n_events"])
 
-    agg = ds.map_batches(cents, batch_format="pyarrow").groupby("user_id").aggregate(
-        Min("ts", alias_name="first_ts"),
-        Max("ts", alias_name="last_ts"),
-        Count(alias_name="n_events"),
-        Sum("value_c", alias_name="value_c"),
-    )
-
-    def dur(b: pa.Table) -> pa.Table:
-        us = pc.cast(pc.cast(pc.subtract(b["last_ts"], b["first_ts"]), pa.int64()), pa.float64())
-        return pa.table({
-            "user_id": b["user_id"],
-            "first_ts": b["first_ts"],
-            "last_ts": b["last_ts"],
-            "n_events": b["n_events"],
-            "total_value": pc.divide(pc.cast(b["value_c"], pa.float64()),
-                                     pa.scalar(100.0)),
-            "duration_sec": pc.divide(us, pa.scalar(1_000_000.0)),
-        })
-
-    return agg.map_batches(dur, batch_format="pyarrow")
+    b = fold_partials(
+        ds.map_batches(cents, batch_format="pyarrow"), ["user_id"],
+        aggs={"first_ts": "min", "last_ts": "max", "value_c": "sum",
+              "n_events": "sum"})
+    if b is None:
+        return pa.schema([
+            ("user_id", pa.int64()), ("first_ts", pa.timestamp("us")),
+            ("last_ts", pa.timestamp("us")), ("n_events", pa.int64()),
+            ("total_value", pa.float64()),
+            ("duration_sec", pa.float64())]).empty_table()
+    us = pc.cast(pc.cast(pc.subtract(b["last_ts"], b["first_ts"]), pa.int64()), pa.float64())
+    return pa.table({
+        "user_id": b["user_id"],
+        "first_ts": b["first_ts"],
+        "last_ts": b["last_ts"],
+        "n_events": b["n_events"],
+        "total_value": pc.divide(pc.cast(b["value_c"], pa.float64()),
+                                 pa.scalar(100.0)),
+        "duration_sec": pc.divide(us, pa.scalar(1_000_000.0)),
+    })
 
 
 _SQL_SESSIONIZE = """

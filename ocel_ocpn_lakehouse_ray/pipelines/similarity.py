@@ -236,13 +236,15 @@ def q_embedding_dedup(sf_dir: str, *, bands: int = DEDUP_BANDS,
                                  "b": pd.Series(dtype=np.int64)})
         return pd.concat(outs, ignore_index=True)
 
+    from .dedup import distinct_pairs_bounded
     from .queries import bucketed_groups
 
     pairs = bucketed_groups(
         ds.map_batches(band_rows, batch_format="pyarrow"), "band", bucket_pairs
     )
-    # a pair can collide in several bands → distinct (co-located by hash(a))
-    return bucketed_groups(pairs, "a", lambda g: g.drop_duplicates(["a", "b"]))
+    # a pair can collide in several bands → distinct, driver-folded under a
+    # budget (pairs are bounded by near-dup density, not corpus size)
+    return distinct_pairs_bounded(pairs)
 
 
 IVF_CLUSTERS = 16
