@@ -48,8 +48,6 @@ _NULL_TYPE = "\x00__null__"
 
 def q_executive_kpis(sf_dir: str) -> pd.DataFrame:
     """One-row KPI table (see module docstring for the reference mapping)."""
-    from ray.data.aggregate import Sum
-
     # ONE read and ONE exchange: each batch emits its grouped (type, hour)
     # partial counts AND its block-unique user ids as n=0 marker rows with
     # the user id carried in the key2 slot — the shared groupby then both
@@ -74,11 +72,18 @@ def q_executive_kpis(sf_dir: str) -> pd.DataFrame:
         })
         return pa.concat_tables([g, u])
 
-    combined = (_read(sf_dir, "events", columns=["event_type", "ts", "user_id"])
-                .map_batches(partial, batch_format="pyarrow")
-                .groupby(["event_type", "key2"])
-                .aggregate(Sum("n", alias_name="n"))
-                .to_pandas())
+    from .queries import fold_partials
+
+    # budget-guarded driver fold of the bounded partials (types × hours
+    # plus block-unique user markers) — same dedup/sum semantics as the
+    # distributed groupby it replaces, which remains the fallback
+    folded = fold_partials(
+        _read(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "key2"], ["n"])
+    if folded is None:
+        raise ValueError("executive_kpis: empty events table")
+    combined = folded.to_pandas()
     users_mask = combined["event_type"] == _USER_MARK
     total_users = int(users_mask.sum())
     grouped = combined.loc[~users_mask].rename(columns={"key2": "hour"})
